@@ -1,0 +1,91 @@
+"""FASTA/FASTQ IO with transparent gzip, no BioPython dependency.
+
+The reference reads sequences through BioPython SeqIO keyed by extension
+(reference scripts/utils/bio.py:11-36) and streams gzipped FASTA/FASTQ in C
+via kseq (reference scripts/read_recruitment/kseq/kseq.h, rr.cpp:8). Here the
+Python path below handles both formats + gzip; the high-throughput native
+streaming packer lives in centroflye_tpu/native (seqio.cpp) and is used by the
+recruitment stage when built.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from typing import Dict, Iterator, Tuple
+
+
+def _open_text(filename: str):
+    if filename.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(filename, "rb"), encoding="ascii")
+    return open(filename, "r", encoding="ascii")
+
+
+def _format_of(filename: str) -> str:
+    base = filename[:-3] if filename.endswith(".gz") else filename
+    ext = os.path.splitext(base)[1].lower()
+    if ext in (".fq", ".fastq"):
+        return "fastq"
+    if ext in (".fa", ".fna", ".fasta"):
+        return "fasta"
+    return "auto"
+
+
+def iter_seqs(filename: str) -> Iterator[Tuple[str, str]]:
+    """Yield (seq_id, sequence) records, streaming. seq_id is the header token
+    up to the first whitespace (matching BioPython's record.id used by the
+    reference utils/bio.py:23)."""
+    form = _format_of(filename)
+    with _open_text(filename) as f:
+        first_line = f.readline()
+        if not first_line:
+            return
+        if form == "auto":
+            form = "fastq" if first_line.startswith("@") else "fasta"
+        if form == "fastq":
+            line = first_line
+            while line:
+                header = line.strip()
+                seq = f.readline().strip()
+                f.readline()   # '+' separator
+                f.readline()   # qualities
+                if header:
+                    yield header[1:].split()[0], seq
+                line = f.readline()
+        else:
+            name = None
+            parts = []
+            line = first_line
+            while line:
+                if line.startswith(">"):
+                    if name is not None:
+                        yield name, "".join(parts)
+                    name = line.strip()[1:].split()[0]
+                    parts = []
+                else:
+                    parts.append(line.strip())
+                line = f.readline()
+            if name is not None:
+                yield name, "".join(parts)
+
+
+def read_seqs(filename: str) -> Dict[str, str]:
+    """All records as {id: seq} (reference utils/bio.py:16-24)."""
+    return {name: seq for name, seq in iter_seqs(filename)}
+
+
+def read_seq(filename: str) -> str:
+    """First record's sequence (reference utils/bio.py:11-13)."""
+    for _, seq in iter_seqs(filename):
+        return seq
+    raise ValueError(f"no sequences in {filename}")
+
+
+def write_seqs(filename: str, seqs: Dict[str, str]) -> None:
+    """Write FASTA, one line per sequence (reference utils/bio.py:32-36)."""
+    dirname = os.path.dirname(os.path.abspath(filename))
+    os.makedirs(dirname, exist_ok=True)
+    with open(filename, "w", encoding="ascii") as f:
+        for seq_id, seq in seqs.items():
+            f.write(f">{seq_id}\n{seq}\n")

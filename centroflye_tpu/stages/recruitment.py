@@ -1,0 +1,215 @@
+"""Read recruitment: select reads containing the HOR unit.
+
+TPU-native equivalent of the reference's native recruiter
+(reference scripts/read_recruitment/rr.cpp:41-90: per read, edlib HW-mode
+bounded edit distance of the unit and its reverse complement, keep the read
+if either strand aligns within the threshold; thresholds 350/DXZ1,
+550/D6Z1 per run_read_recruitment.sh:29-31, run_all_cen6.sh:17), and of the
+process-level fan-out around it (run_read_recruitment.sh:35-44: awk split +
+xargs -P + cat).
+
+Design (not a port):
+- Reads are cut into fixed-length segments with an overlap of
+  ``len(unit) + threshold - 1`` — any unit alignment with <= threshold
+  errors spans at most ``len(unit) + threshold`` target bases, so it lies
+  entirely inside some segment. Segments from many reads pack into dense
+  (B, SEG) batches: perfectly regular work regardless of read-length skew
+  (the TPU answer to the reference's awk-based load balancing).
+- Each batch runs the batched Myers kernel (ops/myers) for both strands;
+  per-read distance = min over its segments. Dispatch is asynchronous, so
+  host packing overlaps device compute.
+- Multi-chip: segment batches are sharded over the mesh data axis
+  (parallel/mesh.py shard_batch); the per-read min-reduction happens on
+  host after device->host transfer of one int32 per segment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from centroflye_tpu.config import RecruitmentConfig
+from centroflye_tpu.io.encoding import encode, revcomp, PAD
+from centroflye_tpu.ops.myers import build_peq, myers_distance_batch
+
+
+@dataclasses.dataclass
+class RecruitmentResult:
+    r_id: str
+    dist_fwd: int
+    dist_rc: int
+    recruited: bool
+
+
+def segment_starts(read_len: int, seg_len: int, overlap: int) -> List[int]:
+    """Start offsets of segments covering [0, read_len) with `overlap`
+    shared bases between consecutive segments."""
+    if read_len <= seg_len:
+        return [0]
+    stride = seg_len - overlap
+    starts = list(range(0, read_len - overlap, stride))
+    return starts
+
+
+class RecruitmentEngine:
+    """Streaming recruiter: feed reads, collect per-read decisions."""
+
+    def __init__(self, unit: str, config: RecruitmentConfig | None = None,
+                 seg_len: int = 32768):
+        self.config = config or RecruitmentConfig()
+        self.unit = unit
+        self.m = len(unit)
+        unit_codes = encode(unit)
+        self.peq_fwd = build_peq(unit_codes)
+        self.peq_rc = build_peq(revcomp(unit_codes))
+        self.threshold = self.config.threshold
+        self.overlap = self.m + self.threshold - 1
+        self.seg_len = max(seg_len, self.overlap + self.m)
+        self.batch = self.config.batch_size
+
+    # -- pure device step (also used by __graft_entry__) ------------------
+
+    def distances(self, codes: np.ndarray, lens: np.ndarray):
+        """(B, SEG) int8 batch -> (dist_fwd, dist_rc) each (B,) int32."""
+        out_f = myers_distance_batch(
+            self.peq_fwd, codes, lens, m=self.m, mode="HW")
+        out_r = myers_distance_batch(
+            self.peq_rc, codes, lens, m=self.m, mode="HW")
+        return out_f["dist"], out_r["dist"]
+
+    # -- streaming host driver -------------------------------------------
+
+    def run(self, reads: Iterable[Tuple[str, str]],
+            ) -> Iterator[RecruitmentResult]:
+        """Stream (r_id, seq) pairs; yields per-read results in input order.
+
+        Keeps at most ~2 batches in flight (async dispatch) plus the read
+        strings whose segments are still pending.
+        """
+        B, SEG = self.batch, self.seg_len
+
+        seg_codes = np.full((B, SEG), PAD, dtype=np.int8)
+        seg_lens = np.zeros((B,), dtype=np.int32)
+        seg_read: List[int] = []          # batch row -> read index
+
+        # per pending read: [r_id, n_pending_segments, min_f, min_r]
+        pending: dict = {}
+        order: List[int] = []             # read indices in input order
+        done: dict = {}
+        next_emit = 0
+        inflight: List[Tuple] = []
+
+        def flush():
+            nonlocal seg_codes, seg_lens, seg_read
+            if not seg_read:
+                return
+            rows = len(seg_read)
+            df, dr = self.distances(seg_codes, seg_lens)
+            inflight.append((df, dr, list(seg_read), rows))
+            seg_codes = np.full((B, SEG), PAD, dtype=np.int8)
+            seg_lens = np.zeros((B,), dtype=np.int32)
+            seg_read = []
+            while len(inflight) > 2:
+                drain_one()
+
+        def drain_one():
+            df, dr, rows_map, rows = inflight.pop(0)
+            df = np.asarray(df)[:rows]
+            dr = np.asarray(dr)[:rows]
+            for row, ridx in enumerate(rows_map):
+                rec = pending[ridx]
+                rec[2] = min(rec[2], int(df[row]))
+                rec[3] = min(rec[3], int(dr[row]))
+                rec[1] -= 1
+                if rec[1] == 0:
+                    done[ridx] = rec
+                    del pending[ridx]
+
+        def emit_ready():
+            nonlocal next_emit
+            while next_emit < len(order) and order[next_emit] in done:
+                ridx = order[next_emit]
+                r_id, _, mf, mr = done.pop(ridx)
+                yield RecruitmentResult(
+                    r_id=r_id, dist_fwd=mf, dist_rc=mr,
+                    recruited=min(mf, mr) <= self.threshold)
+                next_emit += 1
+
+        read_idx = 0
+        for r_id, seq in reads:
+            codes = encode(seq)
+            starts = segment_starts(len(codes), SEG, self.overlap)
+            pending[read_idx] = [r_id, len(starts), self.m, self.m]
+            order.append(read_idx)
+            for st in starts:
+                chunk = codes[st:st + SEG]
+                row = len(seg_read)
+                seg_codes[row, :len(chunk)] = chunk
+                seg_codes[row, len(chunk):] = PAD
+                seg_lens[row] = len(chunk)
+                seg_read.append(read_idx)
+                if len(seg_read) == B:
+                    flush()
+                    yield from emit_ready()
+            read_idx += 1
+        flush()
+        while inflight:
+            drain_one()
+        yield from emit_ready()
+
+
+def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
+                 threshold: int, batch_size: int = 256,
+                 seg_len: int = 32768) -> int:
+    """File-level driver with the same CLI contract as the reference rr
+    binary (rr.cpp:43: unit.fasta reads.fasta[.gz] output.fasta threshold).
+    Returns the number of recruited reads."""
+    from centroflye_tpu.io import read_seq, iter_seqs
+
+    unit = read_seq(unit_fn)
+    engine = RecruitmentEngine(
+        unit, RecruitmentConfig(threshold=threshold, batch_size=batch_size),
+        seg_len=seg_len)
+
+    n_recruited = 0
+    # recruited reads stream straight to the output FASTA; we re-read the
+    # sequences lazily to avoid holding all reads in memory
+    reads_by_id: dict = {}
+
+    def reads_iter():
+        for r_id, seq in iter_seqs(reads_fn):
+            reads_by_id[r_id] = seq
+            yield r_id, seq
+
+    import os
+    os.makedirs(os.path.dirname(os.path.abspath(output_fn)), exist_ok=True)
+    with open(output_fn, "w") as out:
+        for res in engine.run(reads_iter()):
+            seq = reads_by_id.pop(res.r_id)
+            if res.recruited:
+                out.write(f">{res.r_id}\n{seq}\n")
+                n_recruited += 1
+    return n_recruited
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Recruit centromeric reads (rr equivalent)")
+    parser.add_argument("unit")
+    parser.add_argument("reads")
+    parser.add_argument("output")
+    parser.add_argument("threshold", type=int)
+    parser.add_argument("--batch-size", type=int, default=256)
+    args = parser.parse_args(argv)
+    n = recruit_file(args.unit, args.reads, args.output, args.threshold,
+                     batch_size=args.batch_size)
+    print(f"recruited {n} reads")
+
+
+if __name__ == "__main__":
+    main()
