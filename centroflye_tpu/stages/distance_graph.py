@@ -1,0 +1,180 @@
+"""Distance-graph recruitment of unique k-mers (the reference's 9h stage).
+
+Reference behavior (distance_based_kmer_recruitment.py:85-149): for every
+unit-distance d in [min_d, max_d] and every read, count ordered co-occurrences
+of rare-k-mer pairs (i in cloud t, j in cloud t+d, i != j) into a sparse
+(kmer x kmer x dist) structure of Python dicts — the 9h/800GB RAM blow-up.
+filter_dist_tuples then keeps an edge (i, j, d) iff count >= min_coverage AND
+that d carries >= rel_threshold (0.8) of all distance-counts for (i, j);
+endpoint k-mers of surviving edges are the unique k-mers.
+
+TPU design: a pair observation is a single sortable key
+    hi = i (k-mer index),  lo = (j << 8) | d     (j < 2^24, d < 2^8)
+so the whole tensor is a sorted fixed-capacity (hi, lo) -> count table built
+with ops/kmers.count_unique and merged associatively across read batches and
+across devices (the merge is a concat + 2-key resort + segment-sum: exact,
+deterministic, no hash collisions). Pair generation is a dense broadcast over
+the padded cloud tensor (R, T, K): for each d, keys = clouds[:, :-d, :, None]
+x clouds[:, d:, None, :] — all MXU/VPU-friendly regular work. The final
+filter is a segmented reduction over (i, j) groups of the sorted table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from centroflye_tpu.config import KmerRecruitmentConfig
+from centroflye_tpu.ops.kmers import (
+    count_unique, merge_count_tables, SENTINEL,
+)
+
+_SENT = 0xFFFFFFFF
+
+
+@functools.partial(jax.jit, static_argnames=("d0", "n_d", "capacity"))
+def _pairs_at_distances(clouds: jnp.ndarray, n_units: jnp.ndarray,
+                        *, d0: int, n_d: int, capacity: int):
+    """Count (i, j, d) keys for distances d0..d0+n_d-1 over a padded cloud
+    tensor in ONE kernel + ONE sort (fewer table merges: the merge cadence,
+    not pair generation, dominates wall-clock).
+
+    clouds: (R, T, K) int32 indices, -1 padded. Returns a sorted
+    fixed-capacity key->count table (uhi, ulo, counts, n).
+    """
+    R, T, K = clouds.shape
+    max_d = d0 + n_d - 1
+    pad = jnp.full((R, max_d, K), -1, jnp.int32)
+    padded = jnp.concatenate([clouds, pad], axis=1)   # (R, T+max_d, K)
+    pos = jnp.arange(T, dtype=jnp.int32)[None, None, :, None, None]
+    nu = n_units[:, None, None, None, None]
+    a = clouds[:, None, :, :, None]                   # (R, 1, T, K, 1)
+    b = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(padded, d, T, axis=1)
+         for d in range(d0, d0 + n_d)], axis=1)       # (R, D, T, K)
+    b = b[:, :, :, None, :]                           # (R, D, T, 1, K)
+    ds = jnp.arange(d0, d0 + n_d,
+                    dtype=jnp.int32)[None, :, None, None, None]
+    valid = (a >= 0) & (b >= 0) & (a != b) & (pos + ds < nu)
+    hi = jnp.where(valid, a.astype(jnp.uint32) + jnp.uint32(0),
+                   jnp.uint32(_SENT))
+    lo = jnp.where(
+        valid,
+        (b.astype(jnp.uint32) << jnp.uint32(8)) | ds.astype(jnp.uint32),
+        jnp.uint32(_SENT))
+    hi, lo = jnp.broadcast_arrays(hi, lo)
+    return count_unique(hi.ravel(), lo.ravel(), capacity=capacity)
+
+
+def build_distance_table(
+    clouds_tensor: np.ndarray,        # (R, T, K) int32, -1 padded
+    n_units: np.ndarray,              # (R,) int32
+    config: KmerRecruitmentConfig,
+    *,
+    capacity: int = 1 << 20,
+    batch_rows: int = 128,
+    d_chunk: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Full (i, j, d) -> count table over all reads and distances.
+
+    Returns (uhi, ulo, counts, n) sorted by (i, j, d); decode with
+    i = uhi, j = ulo >> 8, d = ulo & 0xFF.
+    """
+    R = clouds_tensor.shape[0]
+    acc = None
+    for r0 in range(0, max(R, 1), batch_rows):
+        batch = clouds_tensor[r0:r0 + batch_rows]
+        nu = n_units[r0:r0 + batch_rows]
+        if batch.shape[0] == 0:
+            continue
+        for d0 in range(config.min_distance, config.max_distance + 1,
+                        d_chunk):
+            n_d = min(d_chunk, config.max_distance + 1 - d0)
+            uhi, ulo, cnt, n = _pairs_at_distances(
+                batch, nu, d0=d0, n_d=n_d, capacity=capacity)
+            if int(n) == 0:
+                continue
+            assert int(n) <= capacity, "distance table capacity overflow"
+            if acc is None:
+                acc = (np.asarray(uhi), np.asarray(ulo),
+                       np.asarray(cnt), int(n))
+            else:
+                muhi, mulo, mcnt, mn = merge_count_tables(
+                    acc[0], acc[1], acc[2], uhi, ulo, cnt,
+                    capacity=capacity)
+                assert int(mn) <= capacity, \
+                    "distance table capacity overflow"
+                acc = (np.asarray(muhi), np.asarray(mulo),
+                       np.asarray(mcnt), int(mn))
+    if acc is None:
+        e = np.full(capacity, _SENT, np.uint32)
+        return e, e.copy(), np.zeros(capacity, np.int32), 0
+    return acc
+
+
+@dataclasses.dataclass
+class DistanceEdges:
+    """Surviving distance-consistent edges + their endpoint k-mer indices."""
+
+    # parallel arrays of surviving edges
+    dist: np.ndarray      # int32
+    i: np.ndarray         # int64 k-mer index
+    j: np.ndarray         # int64 k-mer index
+    freq: np.ndarray      # int64
+    unique_kmer_indices: np.ndarray   # sorted int64
+
+
+def filter_dist_tuples(
+    uhi: np.ndarray, ulo: np.ndarray, counts: np.ndarray, n: int,
+    config: KmerRecruitmentConfig,
+) -> DistanceEdges:
+    """Distance-consistency filter (reference
+    distance_based_kmer_recruitment.py:131-149): keep (i, j, d) iff
+    count >= min_coverage and count / sum_d'(count(i, j, d')) >= 0.8."""
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return DistanceEdges(dist=np.empty(0, np.int32), i=e, j=e.copy(),
+                             freq=e.copy(), unique_kmer_indices=e.copy())
+    i_all = uhi[:n].astype(np.int64)
+    j_all = (ulo[:n] >> np.uint32(8)).astype(np.int64)
+    d_all = (ulo[:n] & np.uint32(0xFF)).astype(np.int64)
+    c_all = counts[:n].astype(np.int64)
+    # group by (i, j): table sorted by (i, j, d) so groups are contiguous
+    pair_key = (i_all << np.int64(24)) | j_all
+    starts = np.concatenate([[True], pair_key[1:] != pair_key[:-1]])
+    group = np.cumsum(starts) - 1
+    all_occ = np.zeros(group[-1] + 1 if n else 0, np.int64)
+    np.add.at(all_occ, group, c_all)
+    keep = (c_all >= config.min_coverage) & \
+        (c_all / np.maximum(all_occ[group], 1) >= config.rel_threshold)
+    sel_i = i_all[keep]
+    sel_j = j_all[keep]
+    uniq = np.unique(np.concatenate([sel_i, sel_j])) if keep.any() \
+        else np.empty(0, np.int64)
+    return DistanceEdges(
+        dist=d_all[keep].astype(np.int32), i=sel_i, j=sel_j,
+        freq=c_all[keep], unique_kmer_indices=uniq)
+
+
+def recruit_unique_kmers(
+    clouds_tensor: np.ndarray,
+    n_units: np.ndarray,
+    rare_codes: np.ndarray,
+    config: KmerRecruitmentConfig,
+    *,
+    capacity: int = 1 << 20,
+    batch_rows: int = 128,
+) -> Tuple[np.ndarray, DistanceEdges]:
+    """End-to-end: distance table -> filter -> unique k-mer codes (sorted
+    uint64) + surviving edges."""
+    uhi, ulo, cnt, n = build_distance_table(
+        clouds_tensor, n_units, config,
+        capacity=capacity, batch_rows=batch_rows)
+    edges = filter_dist_tuples(uhi, ulo, cnt, n, config)
+    unique_codes = rare_codes[edges.unique_kmer_indices]
+    return np.sort(unique_codes), edges

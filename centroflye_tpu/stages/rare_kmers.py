@@ -1,0 +1,100 @@
+"""Rare k-mer recruitment (stage 1 of unique-k-mer selection).
+
+Reference behavior (distance_based_kmer_recruitment.py:39-82): count k=19-mers
+over each read's tandem alignment; a k-mer is discarded once it occurs more
+than once within a read in more than max_nonuniq=3 reads; surviving k-mers
+keep frequency = number of reads containing them; "rare" k-mers are those
+with frequency in [bottom*coverage*survival_rate, top*coverage*survival_rate].
+
+The reference's sequential dict accumulation is order-independent in its
+final result (a k-mer survives iff |{reads with in-read freq > 1}| <=
+max_nonuniq, with frequency |{reads containing it}|), which is exactly what
+ops/kmers.count_read_kmer_stats computes by sort/segment-reduce — so this
+stage is a batched device computation with an associative cross-batch merge
+(and a psum-style cross-device merge in the sharded path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+from centroflye_tpu.config import KmerRecruitmentConfig
+from centroflye_tpu.io.encoding import encode_batch, join_u64
+from centroflye_tpu.ops.kmers import (
+    pack_kmers, count_read_kmer_stats, merge_count_tables, table_to_numpy,
+    SENTINEL,
+)
+
+
+def _iter_batches(seqs: Sequence[str], batch_rows: int, pad_to: int):
+    for i in range(0, len(seqs), batch_rows):
+        chunk = seqs[i:i + batch_rows]
+        L = max(len(s) for s in chunk)
+        L = max(pad_to, -(-L // pad_to) * pad_to)
+        codes, lens = encode_batch(chunk, max_len=L)
+        yield i, codes, lens
+
+
+def read_kmer_table(
+    seqs: Sequence[str],
+    k: int,
+    *,
+    batch_rows: int = 64,
+    capacity: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(codes uint64, n_reads, n_multi) over all sequences: for each distinct
+    k-mer, the number of sequences containing it and the number containing it
+    more than once. Device-computed per batch, merged associatively."""
+    if not len(seqs):
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    total_windows = sum(max(0, len(s) - k + 1) for s in seqs)
+    if capacity is None:
+        capacity = 1 << max(8, int(np.ceil(np.log2(max(total_windows, 2)))))
+
+    acc = None  # (uhi, ulo, counts2, n)
+    for row0, codes, lens in _iter_batches(seqs, batch_rows, 256):
+        hi, lo, _ = pack_kmers(codes, lens, k=k)
+        rid = np.broadcast_to(
+            np.arange(codes.shape[0], dtype=np.int32)[:, None] + row0,
+            hi.shape)
+        uhi, ulo, n_reads, n_multi, n = count_read_kmer_stats(
+            hi, lo, np.ascontiguousarray(rid), capacity=capacity)
+        assert int(n) <= capacity, "k-mer table capacity overflow"
+        counts2 = np.stack([np.asarray(n_reads), np.asarray(n_multi)],
+                           axis=1).astype(np.int32)
+        if acc is None:
+            acc = (np.asarray(uhi), np.asarray(ulo), counts2, int(n))
+        else:
+            muhi, mulo, mcnt, mn = merge_count_tables(
+                acc[0], acc[1], acc[2], np.asarray(uhi), np.asarray(ulo),
+                counts2, capacity=capacity)
+            assert int(mn) <= capacity, "k-mer table capacity overflow"
+            acc = (np.asarray(muhi), np.asarray(mulo), np.asarray(mcnt),
+                   int(mn))
+
+    uhi, ulo, cnt, n = acc
+    codes_u64, counts = table_to_numpy(uhi, ulo, cnt, n)
+    return codes_u64, counts[:, 0].astype(np.int64), \
+        counts[:, 1].astype(np.int64)
+
+
+def get_rare_kmers(
+    seqs: Sequence[str],
+    config: KmerRecruitmentConfig,
+    coverage: int,
+    *,
+    batch_rows: int = 64,
+) -> np.ndarray:
+    """Sorted uint64 codes of rare k-mers (reference
+    distance_based_kmer_recruitment.py:66-82 semantics, including the float
+    band [bottom*coverage*survival, top*coverage*survival])."""
+    codes, n_reads, n_multi = read_kmer_table(
+        seqs, config.k, batch_rows=batch_rows)
+    survive = n_multi <= config.max_nonuniq
+    left = config.bottom * coverage * config.kmer_survival_rate
+    right = config.top * coverage * config.kmer_survival_rate
+    rare = survive & (n_reads >= left) & (n_reads <= right)
+    return codes[rare]

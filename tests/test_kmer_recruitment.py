@@ -1,0 +1,230 @@
+"""Oracle tests: rare-kmer + cloud + distance-graph stages vs a pure-Python
+mirror of the reference semantics (distance_based_kmer_recruitment.py,
+read_kmer_cloud.py)."""
+
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+
+from centroflye_tpu.config import KmerRecruitmentConfig
+from centroflye_tpu.io import kmer_strings
+from centroflye_tpu.pipeline.simulate import (
+    gen_random_seq, simulate_tandem_repeat, add_read_noise,
+)
+from centroflye_tpu.stages.rare_kmers import read_kmer_table, get_rare_kmers
+from centroflye_tpu.stages.kmer_cloud import (
+    build_read_clouds, filter_read_clouds, pad_clouds,
+)
+from centroflye_tpu.stages.distance_graph import (
+    build_distance_table, filter_dist_tuples, recruit_unique_kmers,
+)
+from centroflye_tpu.stages.unit_decomposition import UnitDecomposer
+from centroflye_tpu.config import UnitDecompositionConfig
+
+
+# ------------------------- python oracles ---------------------------------
+
+def oracle_kmer_freqs(seqs, k, max_nonuniq):
+    """Reference get_kmer_freqs_from_ncrf_report (sequential form)."""
+    non_unique = defaultdict(int)
+    all_kmers = {}
+    for s in seqs:
+        read_freq = Counter(s[i:i + k] for i in range(len(s) - k + 1))
+        for kmer, freq in read_freq.items():
+            if freq > 1:
+                non_unique[kmer] += 1
+            if non_unique[kmer] <= max_nonuniq:
+                all_kmers[kmer] = all_kmers.get(kmer, 0) + 1
+            else:
+                all_kmers.pop(kmer, None)
+    return all_kmers
+
+
+def oracle_rare(seqs, k, cfg, coverage):
+    all_kmers = oracle_kmer_freqs(seqs, k, cfg.max_nonuniq)
+    left = cfg.bottom * coverage * cfg.kmer_survival_rate
+    right = cfg.top * coverage * cfg.kmer_survival_rate
+    return {km for km, f in all_kmers.items() if left <= f <= right}
+
+
+def oracle_dist_map(read_clouds_strs, min_d, max_d):
+    """Reference get_kmer_dist_map: {(i_kmer, j_kmer, d): count} with
+    string k-mers."""
+    cnt = defaultdict(int)
+    for clouds in read_clouds_strs:
+        for d in range(min_d, max_d + 1):
+            for t in range(len(clouds) - d):
+                for a in clouds[t]:
+                    for b in clouds[t + d]:
+                        if a != b:
+                            cnt[(a, b, d)] += 1
+    return cnt
+
+
+def oracle_filter(cnt, min_cov, rel=0.8):
+    pair_tot = defaultdict(int)
+    for (a, b, d), c in cnt.items():
+        pair_tot[(a, b)] += c
+    kept = {}
+    sel_kmers = set()
+    for (a, b, d), c in cnt.items():
+        if c >= min_cov and c / pair_tot[(a, b)] >= rel:
+            kept[(a, b, d)] = c
+            sel_kmers.add(a)
+            sel_kmers.add(b)
+    return kept, sel_kmers
+
+
+# ------------------------------ tests -------------------------------------
+
+K = 13
+
+
+def test_read_kmer_table_vs_oracle(rng):
+    seqs = []
+    base = gen_random_seq(rng, 400)
+    for i in range(10):
+        if i % 3 == 0:
+            seqs.append(base[:150] + base[:150])   # in-read repeats
+        else:
+            seqs.append(add_read_noise(rng, base, 0.05))
+    codes, n_reads, n_multi = read_kmer_table(seqs, K, batch_rows=3)
+    strs = kmer_strings(codes, K)
+
+    contain = defaultdict(int)
+    multi = defaultdict(int)
+    for s in seqs:
+        c = Counter(s[i:i + K] for i in range(len(s) - K + 1))
+        for km, f in c.items():
+            contain[km] += 1
+            if f > 1:
+                multi[km] += 1
+    assert len(strs) == len(contain)
+    for km, nr, nm in zip(strs, n_reads, n_multi):
+        assert contain[km] == nr
+        assert multi[km] == nm
+
+
+def test_rare_kmers_vs_oracle(rng):
+    cfg = KmerRecruitmentConfig(k=K, max_nonuniq=2, bottom=0.9, top=3.0,
+                                kmer_survival_rate=0.5)
+    coverage = 8
+    base = gen_random_seq(rng, 300)
+    seqs = [add_read_noise(rng, base, 0.03) for _ in range(12)]
+    seqs += [base[:100] * 3 for _ in range(4)]   # heavy in-read repeats
+    rare = set(kmer_strings(
+        get_rare_kmers(seqs, cfg, coverage, batch_rows=4), K))
+    assert rare == oracle_rare(seqs, K, cfg, coverage)
+    assert len(rare) > 0
+
+
+def make_decomposition(rng, unit, n_reads=10, copies=12, noise=0.08):
+    reads = []
+    for i in range(n_reads):
+        seq = "".join(add_read_noise(rng, unit, noise) for _ in range(copies))
+        reads.append((f"r{i:03d}", seq))
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=500)).decompose(reads)
+    return dec
+
+
+def test_clouds_and_distance_graph_vs_oracle(rng):
+    unit = gen_random_seq(rng, 100)
+    dec = make_decomposition(rng, unit, n_reads=4, copies=6, noise=0.05)
+    assert len(dec.records) == 4
+    cfg = KmerRecruitmentConfig(
+        k=K, min_distance=1, max_distance=3, min_coverage=3,
+        bottom=0.0, top=100.0)  # wide rare band for test density
+    seqs = [dec.records[r].seq for r in sorted(dec.records)]
+    rare_codes = get_rare_kmers(seqs, cfg, coverage=1, batch_rows=4)
+    rare_strs = kmer_strings(rare_codes, K)
+    rare_set = set(rare_strs)
+    idx2str = dict(enumerate(rare_strs))
+
+    records = {r: dec.records[r] for r in sorted(dec.records)}
+    clouds = build_read_clouds(records, rare_codes, K)
+
+    # oracle clouds: per record instance, set of rare k-mers
+    oracle_clouds = []
+    for r in sorted(records):
+        rec = records[r]
+        per_read = []
+        for inst in rec.motif_alignments():
+            kms = {inst[i:i + K] for i in range(len(inst) - K + 1)}
+            per_read.append(kms & rare_set)
+        oracle_clouds.append(per_read)
+        got = clouds[r]
+        assert got.n_units == len(per_read)
+        for c_idx, c_or in zip(got.clouds, per_read):
+            assert {idx2str[i] for i in c_idx} == c_or
+
+    r_ids, tensor, n_units, Kpad = pad_clouds(clouds, sorted(records))
+    uhi, ulo, cnt, n = build_distance_table(
+        tensor, n_units, cfg, capacity=1 << 19, batch_rows=3)
+    got_map = {}
+    for t in range(n):
+        i = int(uhi[t])
+        j = int(ulo[t]) >> 8
+        d = int(ulo[t]) & 0xFF
+        got_map[(idx2str[i], idx2str[j], d)] = int(cnt[t])
+    want_map = oracle_dist_map(oracle_clouds, cfg.min_distance,
+                               cfg.max_distance)
+    assert got_map == dict(want_map)
+
+    edges = filter_dist_tuples(uhi, ulo, cnt, n, cfg)
+    want_kept, want_kmers = oracle_filter(want_map, cfg.min_coverage,
+                                          cfg.rel_threshold)
+    got_kept = {(idx2str[int(a)], idx2str[int(b)], int(d)): int(f)
+                for a, b, d, f in zip(edges.i, edges.j, edges.dist,
+                                      edges.freq)}
+    assert got_kept == want_kept
+    got_kmers = {idx2str[int(i)] for i in edges.unique_kmer_indices}
+    assert got_kmers == want_kmers
+
+
+def test_filter_clouds_multiplicity(rng):
+    unit = gen_random_seq(rng, 200)
+    dec = make_decomposition(rng, unit, n_reads=5, copies=8)
+    cfg = KmerRecruitmentConfig(k=K, bottom=0.0, top=1e9)
+    seqs = [dec.records[r].seq for r in sorted(dec.records)]
+    rare_codes = get_rare_kmers(seqs, cfg, coverage=1, batch_rows=4)
+    records = {r: dec.records[r] for r in sorted(dec.records)}
+    clouds = build_read_clouds(records, rare_codes, K)
+    filt = filter_read_clouds(clouds, min_mult=3)
+    # oracle multiplicity
+    mult = Counter()
+    for rc in clouds.values():
+        for c in rc.clouds:
+            mult.update(c.tolist())
+    for r, rc in filt.items():
+        for c_new, c_old in zip(rc.clouds, clouds[r].clouds):
+            want = {i for i in c_old.tolist() if mult[i] >= 3}
+            assert set(c_new.tolist()) == want
+
+
+def test_unique_kmers_from_simulated_tandem(rng):
+    # end-to-end slice: mutated tandem repeat -> decomposition -> rare ->
+    # distance graph -> unique k-mers must mark mutation-bearing positions
+    unit = gen_random_seq(rng, 250)
+    sim = simulate_tandem_repeat(rng, unit, mult=30, div_rate=0.01,
+                                 flank_len=0)
+    # perfect reads tiling the repeat (no noise: sharpest signal)
+    reads = []
+    for i in range(12):
+        st = (i * 547) % (len(sim.tr) - 3000)
+        reads.append((f"t{i}", sim.tr[st:st + 3000]))
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=500)).decompose(reads)
+    cfg = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=4,
+                                min_coverage=2, bottom=0.0, top=1e9)
+    records = {r: dec.records[r] for r in sorted(dec.records)}
+    seqs = [rec.seq for rec in records.values()]
+    rare = get_rare_kmers(seqs, cfg, coverage=1, batch_rows=4)
+    clouds = build_read_clouds(records, rare, K)
+    r_ids, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
+    uniq_codes, edges = recruit_unique_kmers(
+        tensor, n_units, rare, cfg, capacity=1 << 20, batch_rows=12)
+    # unique k-mers must be a subset of rare and non-empty
+    assert len(uniq_codes) > 0
+    assert set(uniq_codes.tolist()) <= set(rare.tolist())
