@@ -1,0 +1,132 @@
+"""Placement tests: mini cenX stage-3 on a simulated tandem repeat; the
+greedy placement must recover every read's true unit offset, and the
+incremental scorer must agree with the slow oracle (the reference's own
+dual-implementation check, cloud_contig.py:146-155)."""
+
+import numpy as np
+import pytest
+
+from centroflye_tpu.config import (
+    KmerRecruitmentConfig, PlacerConfig, UnitDecompositionConfig,
+)
+from centroflye_tpu.pipeline.simulate import (
+    gen_random_seq, simulate_tandem_repeat,
+)
+from centroflye_tpu.stages.unit_decomposition import UnitDecomposer
+from centroflye_tpu.stages.rare_kmers import get_rare_kmers
+from centroflye_tpu.stages.kmer_cloud import (
+    build_read_clouds, filter_read_clouds, pad_clouds,
+)
+from centroflye_tpu.stages.distance_graph import recruit_unique_kmers
+from centroflye_tpu.stages.cloud_contig import map_reads_fast
+from centroflye_tpu.stages.read_placer import (
+    ReadPlacer, read_positions_file,
+)
+
+K = 13
+UNIT = 200
+MULT = 40
+FLANK = 6000
+
+
+@pytest.fixture(scope="module")
+def pipeline_state():
+    rng = np.random.default_rng(7)
+    unit = gen_random_seq(rng, UNIT)
+    sim = simulate_tandem_repeat(rng, unit, mult=MULT, div_rate=0.02,
+                                 flank_len=FLANK)
+    g = sim.flanked_tr
+    tr_start = FLANK
+    tr_end = FLANK + len(sim.tr)
+
+    reads = []
+    true_offset = {}
+    # several prefix reads (min_cloud_kmer_freq=2 needs >= 2 reads sharing
+    # each position before any k-mer becomes frequent, like the real data's
+    # multiple boundary-spanning reads)
+    for pi, left in enumerate([3000, 2600, 2200]):
+        reads.append((f"pre{pi}", g[tr_start - left:tr_start + 8 * UNIT]))
+        true_offset[f"pre{pi}"] = 0
+    # internal reads tiling the repeat
+    i = 0
+    start = tr_start + 150
+    while start + 3000 < tr_end - 200:
+        reads.append((f"int{i:02d}", g[start:start + 3000]))
+        # first instance index: a leading partial unit longer than 0.2*UNIT
+        # is kept as an instance (NCRF partial patching semantics), so the
+        # read places at floor; otherwise at ceil
+        lead_mod = (start - tr_start) % UNIT
+        if lead_mod and (UNIT - lead_mod) > 0.2 * UNIT:
+            true_offset[f"int{i:02d}"] = (start - tr_start) // UNIT
+        else:
+            true_offset[f"int{i:02d}"] = -((start - tr_start) // -UNIT)
+        start += 700
+        i += 1
+    # suffix read: starts inside the repeat, long right flank
+    suf_start = tr_end - 8 * UNIT
+    reads.append(("suf", g[suf_start:tr_end + 3000]))
+    true_offset["suf"] = (suf_start - tr_start) // UNIT
+
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=1000)).decompose(reads)
+    assert set(dec.records) == {r_id for r_id, _ in reads}
+
+    cfg = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=5,
+                                min_coverage=2, bottom=0.0, top=1e9)
+    records = {r: dec.records[r] for r in sorted(dec.records)}
+    seqs = [rec.seq for rec in records.values()]
+    rare = get_rare_kmers(seqs, cfg, coverage=1, batch_rows=8)
+    clouds_rare = build_read_clouds(records, rare, K)
+    _, tensor, n_units, _ = pad_clouds(clouds_rare, sorted(records))
+    uniq_codes, edges = recruit_unique_kmers(
+        tensor, n_units, rare, cfg, capacity=1 << 20, batch_rows=16)
+    assert len(uniq_codes) > 50
+
+    clouds = build_read_clouds(records, uniq_codes, K)
+    clouds = filter_read_clouds(clouds, min_mult=2)
+    return dict(unit=unit, sim=sim, dec=dec, clouds=clouds,
+                true_offset=true_offset)
+
+
+def test_placement_recovers_true_offsets(pipeline_state, tmp_path):
+    st = pipeline_state
+    placer = ReadPlacer(PlacerConfig(
+        min_cloud_kmer_freq=2, min_kmer_mult=2, min_unit=2, min_inters=5,
+        min_prop=3, prefix_threshold=2500, small_threshold=1000))
+    placements = placer.run(st["dec"], st["clouds"])
+    placed = {r: p for r, p in placements.items() if p is not None}
+    # every read must be placed at its true unit offset
+    assert set(placed) == set(st["true_offset"])
+    for r_id, want in st["true_offset"].items():
+        assert placed[r_id] == want, (r_id, placed[r_id], want)
+
+    out_fn = str(tmp_path / "read_positions.csv")
+    placer.write_positions(out_fn)
+    parsed = read_positions_file(out_fn)
+    assert parsed == placements
+
+
+def test_fast_scorer_matches_slow_oracle(pipeline_state):
+    st = pipeline_state
+    placer = ReadPlacer(PlacerConfig(
+        min_cloud_kmer_freq=2, min_unit=2, min_inters=5,
+        prefix_threshold=2500))
+    placer.run(st["dec"], st["clouds"])
+    positions, scores, mismatches = map_reads_fast(
+        placer.contig, st["clouds"], threshold=(2, 5), debug=True)
+    # NB: the reference's fast scorer legitimately over-counts (kmer, pos)
+    # pairs where a kmer is frequent somewhere else on the contig (reference
+    # builds its freq list from kmer_positions, cloud_contig.py:126-128, not
+    # from freq_clouds); the reference only PRINTS such mismatches
+    # (cloud_contig.py:153-155). The invariant that must hold: fast never
+    # undercounts the slow oracle.
+    for r_id, fast_score, slow_score, fast_pos, slow_pos in mismatches:
+        assert fast_score >= slow_score, (r_id, fast_score, slow_score)
+    assert len(mismatches) <= 1
+    # placed reads generally re-map to their placement position (ties can
+    # legitimately resolve to a different equal-score position against the
+    # final contig, so require a strong majority, not equality)
+    placed = {r: p for r, p in placer.placements.items() if p is not None}
+    same = sum(1 for r_id, pos in placed.items()
+               if positions.get(r_id) == pos)
+    assert same >= 0.8 * len(placed)
