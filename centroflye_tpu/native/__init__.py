@@ -1,0 +1,171 @@
+"""ctypes bindings to the native runtime (libcfnative.so).
+
+Native counterparts of the reference's C/C++ inventory (rr.cpp + vendored
+edlib + kseq): a streaming gzip FASTA/FASTQ packer and a 64-bit Myers
+edit-distance/traceback engine. Python falls back transparently when the
+library is not built (`make -C centroflye_tpu/native`); `build_native()`
+builds it on demand.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libcfnative.so")
+
+MODE_NW, MODE_SHW, MODE_HW = 0, 1, 2
+_MODES = {"NW": MODE_NW, "SHW": MODE_SHW, "HW": MODE_HW}
+
+_lib = None
+
+
+def load_native(build: bool = False):
+    """Load (optionally building) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and build:
+        build_native()
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.cf_edit_distance.restype = ctypes.c_int32
+    lib.cf_edit_distance.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+    lib.cf_edit_distance_batch.restype = None
+    lib.cf_edit_distance_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.cf_align_path.restype = ctypes.c_int32
+    lib.cf_align_path.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.cf_reader_open.restype = ctypes.c_void_p
+    lib.cf_reader_open.argtypes = [ctypes.c_char_p]
+    lib.cf_reader_close.restype = None
+    lib.cf_reader_close.argtypes = [ctypes.c_void_p]
+    lib.cf_reader_next.restype = ctypes.c_int64
+    lib.cf_reader_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
+        ctypes.c_int32]
+    _lib = lib
+    return _lib
+
+
+def build_native() -> bool:
+    """Build libcfnative.so in place; returns success."""
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def native_available() -> bool:
+    return load_native() is not None
+
+
+def native_edit_distance(query_codes: np.ndarray, target_codes: np.ndarray,
+                         mode: str = "HW", k: int = -1
+                         ) -> Optional[Tuple[int, int]]:
+    """(dist, end) or None if the native lib is unavailable. dist == -1
+    means distance > k (banded early-out)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(query_codes, dtype=np.int8)
+    t = np.ascontiguousarray(target_codes, dtype=np.int8)
+    end = ctypes.c_int32(-1)
+    d = lib.cf_edit_distance(
+        q.ctypes.data, len(q), t.ctypes.data, len(t),
+        _MODES[mode], k, ctypes.byref(end))
+    return int(d), int(end.value)
+
+
+def native_edit_distance_batch(query_codes: np.ndarray,
+                               targets: np.ndarray, lens: np.ndarray,
+                               mode: str = "HW", k: int = -1):
+    """Batch distances: targets (R, L) int8 padded; returns (dists, ends)
+    or None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(query_codes, dtype=np.int8)
+    t = np.ascontiguousarray(targets, dtype=np.int8)
+    ln = np.ascontiguousarray(lens, dtype=np.int32)
+    R, L = t.shape
+    dists = np.empty(R, dtype=np.int32)
+    ends = np.empty(R, dtype=np.int32)
+    lib.cf_edit_distance_batch(
+        q.ctypes.data, len(q), t.ctypes.data, ln.ctypes.data, R, L,
+        _MODES[mode], k, dists.ctypes.data, ends.ctypes.data)
+    return dists, ends
+
+
+def native_align_path(query_codes: np.ndarray, target_codes: np.ndarray,
+                      mode: str = "NW"):
+    """(dist, cigar, t_start, t_end) or None if unavailable/failed."""
+    lib = load_native()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(query_codes, dtype=np.int8)
+    t = np.ascontiguousarray(target_codes, dtype=np.int8)
+    cap = 16 * (len(q) + len(t)) + 64
+    buf = ctypes.create_string_buffer(cap)
+    t_start = ctypes.c_int32(0)
+    t_end = ctypes.c_int32(0)
+    d = lib.cf_align_path(
+        q.ctypes.data, len(q), t.ctypes.data, len(t), _MODES[mode],
+        buf, cap, ctypes.byref(t_start), ctypes.byref(t_end))
+    if d < 0:
+        return None
+    return int(d), buf.value.decode("ascii"), int(t_start.value), \
+        int(t_end.value)
+
+
+def native_hw_locate(query: str, target: str
+                     ) -> Optional[Tuple[int, int, int]]:
+    """(dist, t_start, t_end) via the native HW path alignment."""
+    from centroflye_tpu.io.encoding import encode
+    res = native_align_path(encode(query), encode(target), mode="HW")
+    if res is None:
+        return None
+    d, _, st, en = res
+    return d, st, en
+
+
+def native_iter_seqs(path: str, max_len: int = 1 << 24
+                     ) -> Iterator[Tuple[str, np.ndarray]]:
+    """Stream (r_id, int8 code array) records via the native reader."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    handle = lib.cf_reader_open(path.encode())
+    if not handle:
+        raise FileNotFoundError(path)
+    codes = np.empty(max_len, dtype=np.int8)
+    id_buf = ctypes.create_string_buffer(4096)
+    try:
+        while True:
+            n = lib.cf_reader_next(handle, codes.ctypes.data, max_len,
+                                   id_buf, 4096)
+            if n == -1:
+                return
+            if n == -2:
+                codes = np.empty(codes.size * 2, dtype=np.int8)
+                continue
+            if n < 0:
+                raise RuntimeError(f"parse error in {path}")
+            yield id_buf.value.decode("ascii"), codes[:n].copy()
+    finally:
+        lib.cf_reader_close(handle)

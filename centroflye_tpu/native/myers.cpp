@@ -1,0 +1,236 @@
+// Myers bit-parallel edit distance + traceback (native parity engine).
+//
+// Original implementation of the Myers (1999) / Hyyrö (2003) bit-vector
+// algorithm over 64-bit words, covering the three edlib alignment modes the
+// reference relies on (NW / SHW / HW; reference edlib.h:21-47,
+// myersCalcEditDistanceSemiGlobal at edlib.cpp:526). Used as the host-side
+// oracle for the TPU kernel (ops/myers.py) and for fast alignment-path
+// extraction (cf_align_path stores per-column vertical delta bits and walks
+// them back — O(qlen*tlen/64) memory words, O((qlen+tlen)*qlen) traceback).
+
+#include "cfnative.h"
+
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int kWord = 64;
+
+struct Peq {
+  // bits[a * words + w] — bit i of word w set iff query[64w + i] == a
+  std::vector<uint64_t> bits;
+  int words;
+  int qlen;
+};
+
+Peq build_peq(const int8_t* query, int32_t qlen) {
+  Peq p;
+  p.words = (qlen + kWord - 1) / kWord;
+  p.qlen = qlen;
+  p.bits.assign(5 * p.words, 0);
+  for (int32_t i = 0; i < qlen; ++i) {
+    int a = query[i];
+    if (a >= 0 && a < 4) {
+      p.bits[a * p.words + i / kWord] |= (uint64_t{1} << (i % kWord));
+    }
+  }
+  return p;
+}
+
+// One Myers column update over all words; returns the score delta at the
+// query's last row. vp/vn updated in place; optional per-column snapshots.
+inline int column_update(const Peq& peq, int8_t c, bool global_mode,
+                         uint64_t* vp, uint64_t* vn, int words,
+                         int hw_word, int hb,
+                         uint64_t* vp_col = nullptr,
+                         uint64_t* vn_col = nullptr) {
+  const uint64_t* eq_row = &peq.bits[(c >= 0 && c < 4 ? c : 4) * words];
+  uint64_t carry_add = 0;                   // multiword addition carry
+  uint64_t hp_carry = global_mode ? 1 : 0;  // bit shifted into HP
+  uint64_t hn_carry = 0;
+  int delta = 0;
+  for (int w = 0; w < words; ++w) {
+    uint64_t eq = eq_row[w];
+    uint64_t pv = vp[w];
+    uint64_t nv = vn[w];
+    uint64_t x = eq & pv;
+    uint64_t s1 = x + carry_add;
+    uint64_t c0 = s1 < x;
+    uint64_t s2 = s1 + pv;
+    uint64_t c2 = s2 < s1;
+    carry_add = c0 | c2;
+    uint64_t d0 = (s2 ^ pv) | eq | nv;
+    uint64_t hp = nv | ~(d0 | pv);
+    uint64_t hn = pv & d0;
+    if (w == hw_word) {
+      if ((hp >> hb) & 1) delta = 1;
+      else if ((hn >> hb) & 1) delta = -1;
+    }
+    uint64_t hp_sh = (hp << 1) | hp_carry;
+    hp_carry = hp >> (kWord - 1);
+    uint64_t hn_sh = (hn << 1) | hn_carry;
+    hn_carry = hn >> (kWord - 1);
+    vp[w] = hn_sh | ~(d0 | hp_sh);
+    vn[w] = hp_sh & d0;
+    if (vp_col) vp_col[w] = vp[w];
+    if (vn_col) vn_col[w] = vn[w];
+  }
+  return delta;
+}
+
+}  // namespace
+
+extern "C" int32_t cf_edit_distance(const int8_t* query, int32_t qlen,
+                                    const int8_t* target, int32_t tlen,
+                                    int32_t mode, int32_t k,
+                                    int32_t* end_pos) {
+  if (qlen == 0) {
+    if (end_pos) *end_pos = -1;
+    return mode == CF_MODE_NW ? tlen : 0;
+  }
+  Peq peq = build_peq(query, qlen);
+  int words = peq.words;
+  std::vector<uint64_t> vp(words, ~uint64_t{0});
+  std::vector<uint64_t> vn(words, 0);
+  bool global_mode = (mode != CF_MODE_HW);
+  int hw_word = (qlen - 1) / kWord;
+  int hb = (qlen - 1) % kWord;
+  int32_t score = qlen, best = qlen, best_j = -1;
+  for (int32_t j = 0; j < tlen; ++j) {
+    score += column_update(peq, target[j], global_mode, vp.data(), vn.data(),
+                           words, hw_word, hb);
+    if (mode != CF_MODE_NW && score < best) {
+      best = score;
+      best_j = j;
+    }
+  }
+  int32_t dist = (mode == CF_MODE_NW) ? score : best;
+  if (end_pos) *end_pos = (mode == CF_MODE_NW) ? tlen - 1 : best_j;
+  if (k >= 0 && dist > k) return -1;
+  return dist;
+}
+
+extern "C" void cf_edit_distance_batch(const int8_t* query, int32_t qlen,
+                                       const int8_t* targets,
+                                       const int32_t* lens, int32_t rows,
+                                       int32_t stride, int32_t mode,
+                                       int32_t k, int32_t* dists,
+                                       int32_t* ends) {
+  for (int32_t r = 0; r < rows; ++r) {
+    int32_t end = -1;
+    dists[r] = cf_edit_distance(query, qlen, targets + (size_t)r * stride,
+                                lens[r], mode, k, &end);
+    if (ends) ends[r] = end;
+  }
+}
+
+extern "C" int32_t cf_align_path(const int8_t* query, int32_t qlen,
+                                 const int8_t* target, int32_t tlen,
+                                 int32_t mode, char* cigar_buf, int32_t cap,
+                                 int32_t* t_start, int32_t* t_end) {
+  if (qlen == 0 || tlen == 0) return -1;
+  Peq peq = build_peq(query, qlen);
+  int words = peq.words;
+  std::vector<uint64_t> vp(words, ~uint64_t{0});
+  std::vector<uint64_t> vn(words, 0);
+  bool global_mode = (mode != CF_MODE_HW);
+  int hw_word = (qlen - 1) / kWord;
+  int hb = (qlen - 1) % kWord;
+  // per-column vertical delta snapshots + bottom-row scores for traceback
+  std::vector<uint64_t> vp_cols((size_t)tlen * words);
+  std::vector<uint64_t> vn_cols((size_t)tlen * words);
+  std::vector<int32_t> bottom(tlen);
+  int32_t score = qlen, best = qlen, best_j = -1;
+  for (int32_t j = 0; j < tlen; ++j) {
+    score += column_update(peq, target[j], global_mode, vp.data(), vn.data(),
+                           words, hw_word, hb,
+                           &vp_cols[(size_t)j * words],
+                           &vn_cols[(size_t)j * words]);
+    bottom[j] = score;
+    if (mode != CF_MODE_NW && score < best) {
+      best = score;  // first best column (parity with the TPU kernel)
+      best_j = j;
+    }
+  }
+  int32_t dist;
+  int32_t j_end;
+  if (mode == CF_MODE_NW) {
+    dist = score;
+    j_end = tlen - 1;
+  } else {
+    dist = best;
+    j_end = best_j;
+    if (j_end < 0) {  // empty alignment is best: no path to emit
+      if (t_start) *t_start = 0;
+      if (t_end) *t_end = 0;
+      if (cap > 0) cigar_buf[0] = '\0';
+      return dist;
+    }
+  }
+  if (t_end) *t_end = j_end + 1;
+
+  auto cell = [&](int32_t i, int32_t j) -> int64_t {
+    // D(i, j); column -1 is the left boundary (D = i in all modes)
+    if (j < 0) return i;
+    int64_t v = bottom[j];
+    const uint64_t* vpc = &vp_cols[(size_t)j * words];
+    const uint64_t* vnc = &vn_cols[(size_t)j * words];
+    for (int32_t r = qlen - 1; r >= i; --r) {
+      uint64_t bit = uint64_t{1} << (r % kWord);
+      if (vpc[r / kWord] & bit) v -= 1;
+      else if (vnc[r / kWord] & bit) v += 1;
+    }
+    return v;
+  };
+
+  std::string ops;
+  int32_t i = qlen, j = j_end;
+  while (i > 0) {
+    if (j < 0) {
+      ops.push_back('I');
+      --i;
+      continue;
+    }
+    int64_t cur = cell(i, j);
+    int8_t qc = query[i - 1];
+    int8_t tc = target[j];
+    bool match = (qc == tc && qc >= 0 && qc < 4);
+    if (cell(i - 1, j - 1) + (match ? 0 : 1) == cur) {
+      ops.push_back(match ? '=' : 'X');
+      --i;
+      --j;
+    } else if (cell(i - 1, j) + 1 == cur) {
+      ops.push_back('I');
+      --i;
+    } else if (cell(i, j - 1) + 1 == cur) {
+      ops.push_back('D');
+      --j;
+    } else {
+      return -1;  // inconsistent — should not happen
+    }
+  }
+  if (mode == CF_MODE_NW) {
+    while (j >= 0) {
+      ops.push_back('D');
+      --j;
+    }
+  }
+  if (t_start) *t_start = j + 1;
+
+  // run-length encode reversed ops
+  std::string cig;
+  for (size_t a = ops.size(); a > 0;) {
+    char op = ops[a - 1];
+    size_t b = a;
+    while (b > 0 && ops[b - 1] == op) --b;
+    cig += std::to_string(a - b);
+    cig.push_back(op);
+    a = b;
+  }
+  if ((int32_t)cig.size() + 1 > cap) return -1;
+  std::memcpy(cigar_buf, cig.c_str(), cig.size() + 1);
+  return dist;
+}

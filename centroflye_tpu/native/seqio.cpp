@@ -1,0 +1,139 @@
+// Streaming FASTA/FASTQ(.gz) reader with inline 2-bit packing.
+//
+// The native data-loader of the engine — the role kseq.h plays for the
+// reference's rr recruiter (reference rr.cpp:8,73). Original implementation:
+// buffered zlib stream -> record state machine -> int8 base codes
+// (A=0 C=1 G=2 T=3, other=4) written straight into caller buffers that are
+// ready for device upload (no intermediate string copies).
+
+#include "cfnative.h"
+
+#include <zlib.h>
+
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr size_t kBufSize = 1 << 20;
+
+int8_t g_code[256];
+bool g_code_init = false;
+
+void init_codes() {
+  if (g_code_init) return;
+  for (int i = 0; i < 256; ++i) g_code[i] = 4;
+  g_code['A'] = g_code['a'] = 0;
+  g_code['C'] = g_code['c'] = 1;
+  g_code['G'] = g_code['g'] = 2;
+  g_code['T'] = g_code['t'] = 3;
+  g_code_init = true;
+}
+
+}  // namespace
+
+struct cf_reader {
+  gzFile gz = nullptr;
+  std::vector<unsigned char> buf;
+  size_t pos = 0, len = 0;
+  bool eof = false;
+  bool fastq = false;
+  bool format_known = false;
+
+  int peek() {
+    if (pos >= len) {
+      if (eof) return -1;
+      len = gzread(gz, buf.data(), (unsigned)buf.size());
+      pos = 0;
+      if ((int)len <= 0) {
+        eof = true;
+        len = 0;
+        return -1;
+      }
+    }
+    return buf[pos];
+  }
+  int get() {
+    int c = peek();
+    if (c >= 0) ++pos;
+    return c;
+  }
+  void skip_line() {
+    int c;
+    while ((c = get()) >= 0 && c != '\n') {
+    }
+  }
+};
+
+extern "C" cf_reader* cf_reader_open(const char* path) {
+  init_codes();
+  gzFile gz = gzopen(path, "rb");
+  if (!gz) return nullptr;
+  gzbuffer(gz, 1 << 20);
+  cf_reader* r = new cf_reader();
+  r->gz = gz;
+  r->buf.resize(kBufSize);
+  return r;
+}
+
+extern "C" void cf_reader_close(cf_reader* r) {
+  if (!r) return;
+  if (r->gz) gzclose(r->gz);
+  delete r;
+}
+
+extern "C" int64_t cf_reader_next(cf_reader* r, int8_t* codes_buf,
+                                  int64_t cap, char* id_buf,
+                                  int32_t id_cap) {
+  // find next header
+  int c;
+  while ((c = r->peek()) >= 0 && c != '>' && c != '@') r->skip_line();
+  if (c < 0) return -1;
+  if (!r->format_known) {
+    r->fastq = (c == '@');
+    r->format_known = true;
+  }
+  r->get();  // consume marker
+  // id = token up to whitespace; rest of header skipped
+  int32_t id_len = 0;
+  bool in_id = true;
+  while ((c = r->get()) >= 0 && c != '\n') {
+    if (in_id) {
+      if (c == ' ' || c == '\t' || c == '\r') {
+        in_id = false;
+      } else if (id_len + 1 < id_cap) {
+        id_buf[id_len++] = (char)c;
+      } else {
+        return -3;  // id overflow: treat as parse error
+      }
+    }
+  }
+  id_buf[id_len] = '\0';
+
+  int64_t n = 0;
+  if (r->fastq) {
+    // one sequence line (multi-line FASTQ is nonstandard)
+    while ((c = r->get()) >= 0 && c != '\n') {
+      if (c == '\r') continue;
+      if (n >= cap) return -2;
+      codes_buf[n++] = g_code[(unsigned char)c];
+    }
+    r->skip_line();  // '+'
+    // qualities: exactly n chars (may span buffer loads)
+    int64_t q = 0;
+    while (q < n && (c = r->get()) >= 0) {
+      if (c != '\n' && c != '\r') ++q;
+    }
+    // trailing newline of quality line
+    while ((c = r->peek()) >= 0 && (c == '\n' || c == '\r')) r->get();
+  } else {
+    while ((c = r->peek()) >= 0 && c != '>') {
+      c = r->get();
+      if (c == '\n' || c == '\r') continue;
+      if (n >= cap) return -2;
+      codes_buf[n++] = g_code[(unsigned char)c];
+    }
+  }
+  return n;
+}

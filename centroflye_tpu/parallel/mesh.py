@@ -1,0 +1,147 @@
+"""Multi-chip execution: mesh construction + sharded pipeline steps.
+
+The reference's entire parallel inventory is process fan-out over read
+chunks with `cat` as the reduction (reference run_read_recruitment.sh:35-44,
+run_ncrf_parallel.py:39-73). The TPU design: read batches are data-parallel
+over a 1-D `jax.sharding.Mesh` axis ("reads"); the unit index (Peq tables,
+contig bitmaps) is replicated; per-shard k-mer count tables are merged with
+an all_gather over ICI followed by a redundant-per-device associative fold
+(the sort-based merge is not an elementwise psum, but it is associative, so
+the collective pattern is gather + fold); recruitment needs no communication
+at all. Scaling to a multi-host pod slice is the same program — the mesh
+spans all processes' devices and batches arrive host-sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from centroflye_tpu.ops.myers import myers_distance_batch
+from centroflye_tpu.ops.kmers import pack_kmers, count_unique
+
+DATA_AXIS = "reads"
+
+
+def make_mesh(n_devices: int = 0, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, codes: np.ndarray, lens: np.ndarray):
+    """Place a (B, L) batch row-sharded over the mesh data axis."""
+    sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    sh1 = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.device_put(codes, sh), jax.device_put(lens, sh1)
+
+
+def make_recruitment_step(mesh: Mesh, m: int):
+    """Sharded recruitment distances: batch rows split over the data axis,
+    Peq tables replicated; embarrassingly parallel (no collectives), XLA
+    partitions the Myers scan by batch."""
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(NamedSharding(mesh, P(None, None)),
+                      NamedSharding(mesh, P(None, None)),
+                      NamedSharding(mesh, P(DATA_AXIS, None)),
+                      NamedSharding(mesh, P(DATA_AXIS))),
+        out_shardings=(NamedSharding(mesh, P(DATA_AXIS)),
+                       NamedSharding(mesh, P(DATA_AXIS))))
+    def step(peq_fwd, peq_rc, codes, lens):
+        df = myers_distance_batch(peq_fwd, codes, lens, m=m, mode="HW")
+        dr = myers_distance_batch(peq_rc, codes, lens, m=m, mode="HW")
+        return df["dist"], dr["dist"]
+
+    return step
+
+
+def make_kmer_count_step(mesh: Mesh, k: int, capacity: int):
+    """Sharded exact k-mer counting: per-shard sort/segment-reduce tables,
+    merged across the mesh with an all_gather + associative fold (each
+    device folds the full gathered set — the standard redundant-allreduce
+    pattern for non-elementwise monoids)."""
+    from jax import shard_map
+    from centroflye_tpu.ops import kmers as K
+
+    n_dev = mesh.devices.size
+
+    def local(codes, lens):
+        hi, lo, _ = pack_kmers(codes, lens, k=k)
+        return count_unique(hi.ravel(), lo.ravel(), capacity=capacity)
+
+    def merge_pair(a, b):
+        uhi = jnp.concatenate([a[0], b[0]])
+        ulo = jnp.concatenate([a[1], b[1]])
+        cnt = jnp.concatenate([a[2], b[2]])
+        sorted_ops = jax.lax.sort((uhi, ulo, cnt), num_keys=2)
+        uhi, ulo, cnt = sorted_ops
+        starts = jnp.concatenate([
+            jnp.ones((1,), jnp.bool_),
+            (uhi[1:] != uhi[:-1]) | (ulo[1:] != ulo[:-1])])
+        valid = uhi != K.SENTINEL
+        starts_v = starts & valid
+        seg = jnp.cumsum(starts_v.astype(jnp.int32)) - 1
+        n = seg[-1] + 1
+        segc = jnp.maximum(seg, 0)
+        summed = jax.ops.segment_sum(jnp.where(valid, cnt, 0), segc,
+                                     num_segments=capacity)
+        idx = jnp.where(starts_v, seg, capacity)
+        nuhi = jnp.full((capacity + 1,), K.SENTINEL, jnp.uint32
+                        ).at[idx].set(jnp.where(starts_v, uhi,
+                                                K.SENTINEL))[:capacity]
+        nulo = jnp.full((capacity + 1,), K.SENTINEL, jnp.uint32
+                        ).at[idx].set(jnp.where(starts_v, ulo,
+                                                K.SENTINEL))[:capacity]
+        summed = jnp.where(nuhi != K.SENTINEL, summed, 0)
+        return (nuhi, nulo, summed, n)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=(P(), P(), P(), P()), check_vma=False)
+    def step(codes, lens):
+        uhi, ulo, cnt, n = local(codes, lens)
+        # gather all shards' tables over ICI, fold locally (identical on
+        # every device -> replicated output)
+        g_uhi = jax.lax.all_gather(uhi, DATA_AXIS)     # (n_dev, cap)
+        g_ulo = jax.lax.all_gather(ulo, DATA_AXIS)
+        g_cnt = jax.lax.all_gather(cnt, DATA_AXIS)
+        acc = (g_uhi[0], g_ulo[0], g_cnt[0], n)
+        for i in range(1, n_dev):
+            acc = merge_pair(acc, (g_uhi[i], g_ulo[i], g_cnt[i], n))
+        return acc
+
+    return jax.jit(step)
+
+
+def make_placement_score_step(mesh: Mesh):
+    """Sharded placement scoring + global greedy argmax: read bitmaps are
+    sharded over the data axis, the contig bitmap is replicated; the
+    per-iteration winner is a global argmax over (score0, score1, pos)
+    computed shard-locally and reduced over ICI (the pmax pattern)."""
+    from jax import shard_map
+    from centroflye_tpu.ops.scoring import placement_scores
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(None, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P()),
+        check_vma=False)
+    def step(read_bitmaps, contig_bitmap):
+        s0, s1 = placement_scores(read_bitmaps, contig_bitmap)
+        # global lexicographic argmax of (s0, s1) over all shards: pmax on
+        # s0, then pmax on s1 restricted to rows achieving the s0 max
+        m0 = jax.lax.pmax(jnp.max(s0), DATA_AXIS)
+        m1 = jax.lax.pmax(jnp.max(jnp.where(s0 == m0, s1, -1)), DATA_AXIS)
+        best = jnp.stack([m0, m1])
+        return s0, s1, best
+
+    return jax.jit(step)

@@ -1,0 +1,242 @@
+"""cenX master pipeline: the end-to-end centroFlye assembly driver.
+
+The reference master driver (reference centroFlye.py:137-284) subprocess-
+chains six stages communicating only through files. Here the chain is one
+in-process typed pipeline with per-stage artifacts (same filenames where the
+reference defines them) and skip-if-exists resume, which the reference lacks
+(its README only suggests deleting the whole outdir, README.md:69-70):
+
+  1. recruitment       -> centromeric_reads.fasta
+  2. decomposition     -> decomposition.json (NCRF-report role)
+  3. rare + unique     -> recruited_unique_kmers/unique_kmers_min_edge_cov_{c}.txt
+                          + unique_edges_min_edge_cov_{c}.txt
+  4. placement         -> tr_resolution/read_positions.csv
+  5. unit consensus    -> cons_unit/unit_star.fasta
+  6. polishing         -> polishing{i}/final_sequence_{k}.fasta
+                          -> final_assembly.fasta
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from centroflye_tpu.config import CentroFlyeConfig
+from centroflye_tpu.io import read_seq, read_seqs, write_seqs, iter_seqs
+from centroflye_tpu.io.encoding import kmer_strings
+from centroflye_tpu.stages.unit_decomposition import (
+    UnitDecomposer, Decomposition, DecompRecord,
+)
+
+
+class CenXPipeline:
+    def __init__(self, unit: str, config: CentroFlyeConfig, outdir: str):
+        self.unit = unit
+        self.config = config
+        self.outdir = outdir
+        os.makedirs(outdir, exist_ok=True)
+
+    # ----------------------------------------------------------------- #
+    def _artifact(self, *parts) -> str:
+        return os.path.join(self.outdir, *parts)
+
+    def run_recruitment(self, reads_fn: str) -> str:
+        """Stage 1: select centromeric reads (rr equivalent)."""
+        out_fn = self._artifact("centromeric_reads.fasta")
+        if os.path.exists(out_fn):
+            return out_fn
+        from centroflye_tpu.stages.recruitment import recruit_file
+        recruit_file(
+            self._write_unit(), reads_fn, out_fn,
+            threshold=self.config.recruitment.threshold,
+            batch_size=self.config.recruitment.batch_size)
+        return out_fn
+
+    def _write_unit(self) -> str:
+        unit_fn = self._artifact("unit.fasta")
+        if not os.path.exists(unit_fn):
+            write_seqs(unit_fn, {"unit": self.unit})
+        return unit_fn
+
+    def run_decomposition(self, centromeric_fn: str) -> Decomposition:
+        """Stage 2: tandem decomposition (NCRF-report role)."""
+        cache_fn = self._artifact("decomposition.json")
+        if os.path.exists(cache_fn):
+            return load_decomposition(cache_fn)
+        decomposer = UnitDecomposer(self.unit, self.config.decomposition)
+        dec = decomposer.decompose(iter_seqs(centromeric_fn))
+        save_decomposition(dec, cache_fn)
+        return dec
+
+    def run_unique_kmers(self, dec: Decomposition) -> np.ndarray:
+        """Stages 3a+3b: rare k-mers then distance-graph unique k-mers."""
+        from centroflye_tpu.stages.rare_kmers import get_rare_kmers
+        from centroflye_tpu.stages.kmer_cloud import (
+            build_read_clouds, pad_clouds)
+        from centroflye_tpu.stages.distance_graph import recruit_unique_kmers
+        from centroflye_tpu.io.encoding import string_to_kmer_code
+
+        kcfg = self.config.kmer_recruitment
+        outdir = self._artifact("recruited_unique_kmers")
+        kmers_fn = os.path.join(
+            outdir, f"unique_kmers_min_edge_cov_{kcfg.min_coverage}.txt")
+        if os.path.exists(kmers_fn):
+            with open(kmers_fn) as f:
+                return np.sort(np.array(
+                    [string_to_kmer_code(line.strip()) for line in f
+                     if line.strip()], dtype=np.uint64))
+        os.makedirs(outdir, exist_ok=True)
+
+        records = {r: dec.records[r] for r in sorted(dec.records)}
+        seqs = [rec.seq for rec in records.values()]
+        rare = get_rare_kmers(seqs, kcfg, self.config.coverage)
+        clouds = build_read_clouds(records, rare, kcfg.k)
+        _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
+        uniq_codes, edges = recruit_unique_kmers(
+            tensor, n_units, rare, kcfg)
+
+        # artifact parity: sorted kmer strings, one per line (reference
+        # distance_based_kmer_recruitment.py:158-171)
+        strs = kmer_strings(uniq_codes, kcfg.k)
+        with open(kmers_fn, "w") as f:
+            for s in sorted(strs):
+                print(s, file=f)
+        edges_fn = os.path.join(
+            outdir, f"unique_edges_min_edge_cov_{kcfg.min_coverage}.txt")
+        rare_strs = kmer_strings(rare, kcfg.k)
+        with open(edges_fn, "w") as f:
+            for d, i, j, c in zip(edges.dist, edges.i, edges.j, edges.freq):
+                print(d, rare_strs[int(i)], rare_strs[int(j)], c, file=f)
+        return uniq_codes
+
+    def run_placement(self, dec: Decomposition, uniq_codes: np.ndarray):
+        """Stage 4: greedy read placement."""
+        from centroflye_tpu.stages.kmer_cloud import (
+            build_read_clouds, filter_read_clouds)
+        from centroflye_tpu.stages.read_placer import (
+            ReadPlacer, read_positions_file)
+
+        pos_fn = self._artifact("tr_resolution", "read_positions.csv")
+        pcfg = self.config.placer
+        records = {r: dec.records[r] for r in sorted(dec.records)}
+        # the master driver forwards ONE k to both the k-mer recruitment and
+        # the placer (reference centroFlye.py:40-44 -> :196,:213), so the
+        # cloud k must equal the unique-k-mer k
+        k_cloud = self.config.kmer_recruitment.k
+        clouds = build_read_clouds(records, uniq_codes, k_cloud)
+        clouds = filter_read_clouds(clouds, min_mult=pcfg.min_kmer_mult)
+        if os.path.exists(pos_fn):
+            return read_positions_file(pos_fn), clouds
+        placer = ReadPlacer(pcfg)
+        placements = placer.run(dec, clouds)
+        placer.write_positions(pos_fn)
+        return placements, clouds
+
+    def run_unit_consensus(self, dec: Decomposition) -> str:
+        """Stage 5: consensus unit (unit*) reconstruction."""
+        from centroflye_tpu.stages.consensus_unit import reconstruct_unit
+        out_fn = self._artifact("cons_unit", "unit_star.fasta")
+        if os.path.exists(out_fn):
+            return read_seq(out_fn)
+        seqs = [rec.seq for rec in dec.records.values()]
+        unit_star = reconstruct_unit(seqs, self.unit,
+                                     self.config.consensus_unit)
+        write_seqs(out_fn, {"unit*": unit_star})
+        return unit_star
+
+    def run_polisher(self, dec: Decomposition, placements) -> str:
+        """Stage 6: per-position consensus polishing -> final assembly."""
+        from centroflye_tpu.stages.polisher import EltrPolisher
+        final_fn = self._artifact("final_assembly.fasta")
+        if os.path.exists(final_fn):
+            return read_seq(final_fn)
+        unit_instances = {r_id: rec.motif_alignments()
+                          for r_id, rec in dec.records.items()}
+        polisher = EltrPolisher(self.config.polisher)
+        out = polisher.run(placements, unit_instances,
+                           outdir=self._artifact("polishing"))
+        n = self.config.polisher.num_iters
+        final = out.final_sequences.get(n, "")
+        write_seqs(final_fn, {"centroFlye_assembly": final})
+        return final
+
+    # ----------------------------------------------------------------- #
+    def run(self, reads_fn: str) -> str:
+        """Full chain; returns the final assembly sequence."""
+        centromeric_fn = self.run_recruitment(reads_fn)
+        dec = self.run_decomposition(centromeric_fn)
+        uniq = self.run_unique_kmers(dec)
+        placements, clouds = self.run_placement(dec, uniq)
+        self.run_unit_consensus(dec)
+        return self.run_polisher(dec, placements)
+
+
+# ------------------------- decomposition (de)serialization ----------------
+
+
+def save_decomposition(dec: Decomposition, filename: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    payload = {
+        "records": {
+            r_id: {
+                "r_len": rec.r_len, "strand": rec.strand,
+                "r_st": rec.r_st, "r_en": rec.r_en, "seq": rec.seq,
+                "bounds": rec.bounds.tolist(),
+            } for r_id, rec in dec.records.items()
+        },
+        "positions_all": {
+            r_id: [[st, en, strand] for st, en, strand in ivs]
+            for r_id, ivs in dec.positions_all.items()
+        },
+        "read_lens": dec.read_lens,
+        "discarded": dec.discarded,
+    }
+    with open(filename, "w") as f:
+        json.dump(payload, f)
+
+
+def load_decomposition(filename: str) -> Decomposition:
+    with open(filename) as f:
+        payload = json.load(f)
+    records = {
+        r_id: DecompRecord(
+            r_id=r_id, r_len=d["r_len"], strand=d["strand"],
+            r_st=d["r_st"], r_en=d["r_en"], seq=d["seq"],
+            bounds=np.array(d["bounds"], dtype=np.int32))
+        for r_id, d in payload["records"].items()
+    }
+    positions_all = {
+        r_id: [(st, en, strand) for st, en, strand in ivs]
+        for r_id, ivs in payload["positions_all"].items()
+    }
+    return Decomposition(records=records, positions_all=positions_all,
+                         read_lens=payload["read_lens"],
+                         discarded=payload["discarded"])
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="centroflye_tpu cenX assembly pipeline")
+    parser.add_argument("-i", "--reads", required=True,
+                        help="reads FASTA/FASTQ(.gz)")
+    parser.add_argument("-o", "--outdir", required=True)
+    parser.add_argument("-u", "--unit", required=True,
+                        help="HOR unit FASTA (DXZ1_rc for cenX)")
+    parser.add_argument("-c", "--coverage", type=int, required=True)
+    args = parser.parse_args(argv)
+
+    config = CentroFlyeConfig(coverage=args.coverage)
+    unit = read_seq(args.unit)
+    pipeline = CenXPipeline(unit, config, args.outdir)
+    final = pipeline.run(args.reads)
+    print(f"final assembly length: {len(final)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,16 +77,33 @@ def build_distance_table(
     config: KmerRecruitmentConfig,
     *,
     capacity: int = 1 << 20,
-    batch_rows: int = 128,
+    batch_rows: Optional[int] = None,
     d_chunk: int = 8,
+    element_budget: int = 64 << 20,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Full (i, j, d) -> count table over all reads and distances.
 
     Returns (uhi, ulo, counts, n) sorted by (i, j, d); decode with
     i = uhi, j = ulo >> 8, d = ulo & 0xFF.
+
+    capacity grows automatically (powers of two) if the distinct-key count
+    exceeds it; batch_rows defaults to fitting ``element_budget`` raw pair
+    keys per kernel call (R * n_d * T * K^2 elements).
     """
-    R = clouds_tensor.shape[0]
+    R, T, K = clouds_tensor.shape
+    if batch_rows is None:
+        per_row = max(1, d_chunk * T * K * K)
+        batch_rows = max(1, min(R, element_budget // per_row))
     acc = None
+
+    def emit(batch, nu, d0, n_d, cap):
+        while True:
+            uhi, ulo, cnt, n = _pairs_at_distances(
+                batch, nu, d0=d0, n_d=n_d, capacity=cap)
+            if int(n) <= cap:
+                return uhi, ulo, cnt, int(n), cap
+            cap *= 2
+
     for r0 in range(0, max(R, 1), batch_rows):
         batch = clouds_tensor[r0:r0 + batch_rows]
         nu = n_units[r0:r0 + batch_rows]
@@ -95,20 +112,20 @@ def build_distance_table(
         for d0 in range(config.min_distance, config.max_distance + 1,
                         d_chunk):
             n_d = min(d_chunk, config.max_distance + 1 - d0)
-            uhi, ulo, cnt, n = _pairs_at_distances(
-                batch, nu, d0=d0, n_d=n_d, capacity=capacity)
-            if int(n) == 0:
+            uhi, ulo, cnt, n, capacity = emit(batch, nu, d0, n_d, capacity)
+            if n == 0:
                 continue
-            assert int(n) <= capacity, "distance table capacity overflow"
             if acc is None:
                 acc = (np.asarray(uhi), np.asarray(ulo),
-                       np.asarray(cnt), int(n))
+                       np.asarray(cnt), n)
             else:
-                muhi, mulo, mcnt, mn = merge_count_tables(
-                    acc[0], acc[1], acc[2], uhi, ulo, cnt,
-                    capacity=capacity)
-                assert int(mn) <= capacity, \
-                    "distance table capacity overflow"
+                while True:
+                    muhi, mulo, mcnt, mn = merge_count_tables(
+                        acc[0], acc[1], acc[2], uhi, ulo, cnt,
+                        capacity=capacity)
+                    if int(mn) <= capacity:
+                        break
+                    capacity *= 2
                 acc = (np.asarray(muhi), np.asarray(mulo),
                        np.asarray(mcnt), int(mn))
     if acc is None:
@@ -168,7 +185,7 @@ def recruit_unique_kmers(
     config: KmerRecruitmentConfig,
     *,
     capacity: int = 1 << 20,
-    batch_rows: int = 128,
+    batch_rows: Optional[int] = None,
 ) -> Tuple[np.ndarray, DistanceEdges]:
     """End-to-end: distance table -> filter -> unique k-mer codes (sorted
     uint64) + surviving edges."""

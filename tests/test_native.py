@@ -1,0 +1,141 @@
+"""Native library (libcfnative.so) parity tests: the C++ Myers engine must
+agree with the Python DP oracle and the JAX kernel; the native reader must
+agree with the Python FASTA/FASTQ parser. Skipped when the lib isn't built
+(CI builds it via `make -C centroflye_tpu/native`)."""
+
+import gzip
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from centroflye_tpu.io import encode, write_seqs
+from centroflye_tpu.ops.myers import edit_distance_oracle
+from centroflye_tpu.native import (
+    load_native, native_available, native_edit_distance,
+    native_edit_distance_batch, native_align_path, native_iter_seqs,
+)
+
+pytestmark = pytest.mark.skipif(
+    load_native(build=True) is None, reason="native lib not built")
+
+
+@pytest.mark.parametrize("mode", ["HW", "SHW", "NW"])
+def test_native_distance_vs_oracle(mode, rng, make_dna):
+    for _ in range(10):
+        m = int(rng.integers(1, 150))
+        n = int(rng.integers(1, 300))
+        q, t = make_dna(m), make_dna(n)
+        d, end = native_edit_distance(encode(q), encode(t), mode=mode)
+        od, oend = edit_distance_oracle(q, t, mode=mode)
+        assert d == od, (q, t)
+        if mode != "NW":
+            assert end == oend
+
+
+def test_native_banded_early_out(make_dna):
+    q = make_dna(100)
+    t = make_dna(100)
+    d_full, _ = native_edit_distance(encode(q), encode(t), mode="NW")
+    d_band, _ = native_edit_distance(encode(q), encode(t), mode="NW",
+                                     k=d_full)
+    assert d_band == d_full
+    d_cut, _ = native_edit_distance(encode(q), encode(t), mode="NW",
+                                    k=d_full - 1)
+    assert d_cut == -1
+
+
+def test_native_batch(make_dna):
+    q = make_dna(64)
+    texts = [make_dna(n) for n in (30, 100, 64, 7)]
+    L = max(len(t) for t in texts)
+    mat = np.full((4, L), 4, dtype=np.int8)
+    lens = np.zeros(4, np.int32)
+    for i, t in enumerate(texts):
+        mat[i, :len(t)] = encode(t)
+        lens[i] = len(t)
+    dists, ends = native_edit_distance_batch(encode(q), mat, lens, "HW")
+    for i, t in enumerate(texts):
+        od, oend = edit_distance_oracle(q, t, mode="HW")
+        assert dists[i] == od and ends[i] == oend
+
+
+def test_native_align_path_roundtrip(rng, make_dna):
+    from centroflye_tpu.pipeline.simulate import add_read_noise
+    for _ in range(5):
+        t = make_dna(200)
+        q = add_read_noise(rng, t, 0.1)
+        d, cigar, t_st, t_en = native_align_path(encode(q), encode(t), "NW")
+        od, _ = edit_distance_oracle(q, t, mode="NW")
+        assert d == od
+        assert t_st == 0 and t_en == 200
+        # replay cigar: counts must cover both strings and distance
+        qi = ti = dist = 0
+        num = ""
+        for ch in cigar:
+            if ch.isdigit():
+                num += ch
+                continue
+            n = int(num)
+            num = ""
+            if ch == "=":
+                assert q[qi:qi + n] == t[ti:ti + n]
+                qi += n
+                ti += n
+            elif ch == "X":
+                dist += n
+                qi += n
+                ti += n
+            elif ch == "I":
+                dist += n
+                qi += n
+            elif ch == "D":
+                dist += n
+                ti += n
+        assert qi == len(q) and ti == len(t)
+        assert dist == d
+
+
+def test_native_align_path_hw(make_dna):
+    unit = make_dna(80)
+    t = make_dna(50) + unit + make_dna(60)
+    d, cigar, t_st, t_en = native_align_path(encode(unit), encode(t), "HW")
+    assert d == 0
+    assert (t_st, t_en) == (50, 130)
+    assert cigar == "80="
+
+
+def test_native_reader_fasta(tmp_path, make_dna):
+    seqs = {"r1": make_dna(100), "r2": make_dna(333), "r3": "ACGTN"}
+    fn = str(tmp_path / "x.fasta")
+    write_seqs(fn, seqs)
+    got = {r_id: codes for r_id, codes in native_iter_seqs(fn)}
+    assert set(got) == set(seqs)
+    for r_id, s in seqs.items():
+        assert np.array_equal(got[r_id], encode(s))
+
+
+def test_native_reader_fastq_gz(tmp_path, make_dna):
+    s1, s2 = make_dna(80), make_dna(40)
+    fn = str(tmp_path / "y.fastq.gz")
+    with gzip.open(fn, "wt") as f:
+        f.write(f"@a some desc\n{s1}\n+\n{'I' * len(s1)}\n")
+        f.write(f"@b\n{s2}\n+\n{'I' * len(s2)}\n")
+    got = dict(native_iter_seqs(fn))
+    assert np.array_equal(got["a"], encode(s1))
+    assert np.array_equal(got["b"], encode(s2))
+
+
+def test_native_matches_jax_kernel(rng, make_dna):
+    from centroflye_tpu.io import encode_batch
+    from centroflye_tpu.ops.myers import build_peq, myers_distance_batch
+    q = make_dna(137)
+    texts = [make_dna(int(rng.integers(50, 400))) for _ in range(6)]
+    codes, lens = encode_batch(texts, max_len=512)
+    peq = build_peq(encode(q))
+    out = myers_distance_batch(peq, codes, lens, m=len(q), mode="HW")
+    dists, ends = native_edit_distance_batch(encode(q), np.asarray(codes),
+                                             np.asarray(lens), "HW")
+    assert np.array_equal(np.asarray(out["dist"]), dists)
+    assert np.array_equal(np.asarray(out["end"]), ends)
