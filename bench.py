@@ -1,15 +1,17 @@
-"""Benchmark: read-recruitment throughput on one chip (the reference's
-headline stage: rr/edlib HW k=350 over rel2, ~1h on 50 CPU threads for
-11.1M reads ~= 3083 reads/s, BASELINE.md).
+"""Benchmark: read-recruitment throughput on one chip.
 
-Measures the batched two-strand Myers recruitment kernel on the real DXZ1
-unit (2055 bp) over simulated reads, steady-state. Prints ONE JSON line:
+The reference's headline stage: rr/edlib HW k=350 recruitment over rel2
+(~11.1M reads in ~1h on a 50-thread server ~= 3083 reads/s, BASELINE.md).
+Here the measurement drives the REAL recruitment engine end-to-end (host
+segment packing -> device seed prefilter -> Pallas Myers kernel on
+survivors) on a realistic mix: mostly non-centromeric reads with a few
+tandem-repeat reads, mean length 10kb — the same workload shape as rel2.
+
+All results are materialized to host (np.asarray) before timing stops;
+jax.block_until_ready alone under-reports through the axon tunnel.
+
+Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}.
-
-vs_baseline compares against the reference's effective 3083 reads/s
-(50-thread server) at the rel2 mean read length; we normalize by bases:
-throughput_reads/s = bases_per_s / mean_read_len with the same mean length
-assumption for both sides (the kernel's work is proportional to bases).
 """
 
 import json
@@ -21,52 +23,58 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# rel2 envelope (BASELINE.md): ~11.1M reads in ~1h on 50 threads.
-BASELINE_READS_PER_S = 11_100_000 / 3600.0
-# genome-skimming ONT runs average ~10kb/read; both sides use this length.
+BASELINE_READS_PER_S = 11_100_000 / 3600.0   # rel2 envelope, BASELINE.md
 MEAN_READ_LEN = 10_000
+N_READS = 2048
+CEN_FRACTION = 0.02
+
+
+def make_reads(unit: str):
+    from centroflye_tpu.pipeline.simulate import (
+        add_read_noise, gen_random_seq)
+    rng = np.random.default_rng(0)
+    reads = []
+    n_cen = max(1, int(N_READS * CEN_FRACTION))
+    for i in range(N_READS):
+        if i % (N_READS // n_cen) == 0:
+            n_copies = MEAN_READ_LEN // len(unit)
+            seq = add_read_noise(
+                rng, unit * max(1, n_copies), 0.10)[:MEAN_READ_LEN]
+        else:
+            seq = gen_random_seq(rng, MEAN_READ_LEN)
+        reads.append((f"r{i:05d}", seq))
+    return reads
 
 
 def main():
-    import jax
+    from centroflye_tpu.config import RecruitmentConfig
     from centroflye_tpu.io import read_seq
-    from centroflye_tpu.io.encoding import encode, revcomp
-    from centroflye_tpu.ops.myers import build_peq, myers_distance_batch
+    from centroflye_tpu.stages.recruitment import RecruitmentEngine
 
     data = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "centroflye_tpu", "data")
     unit = read_seq(os.path.join(data, "DXZ1_rc.fasta"))
-    m = len(unit)
-    unit_codes = encode(unit)
-    peq_f = build_peq(unit_codes)
-    peq_r = build_peq(revcomp(unit_codes))
+    reads = make_reads(unit)
+    total_bases = sum(len(s) for _, s in reads)
 
-    B, L = 128, MEAN_READ_LEN
-    rng = np.random.default_rng(0)
-    codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
-    lens = np.full((B,), L, dtype=np.int32)
+    engine = RecruitmentEngine(
+        unit, RecruitmentConfig(threshold=350, batch_size=256),
+        seg_len=16384)
 
-    def step(codes, lens):
-        f = myers_distance_batch(peq_f, codes, lens, m=m, mode="HW")
-        r = myers_distance_batch(peq_r, codes, lens, m=m, mode="HW")
-        return f["dist"], r["dist"]
+    # warmup on a slice (compile both tiers)
+    warm = list(engine.run(reads[:272]))
+    n_warm_recruited = sum(r.recruited for r in warm)
 
-    # warmup / compile
-    out = step(codes, lens)
-    jax.block_until_ready(out)
-
-    n_iter = 5
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = step(codes, lens)
-    jax.block_until_ready(out)
+    results = list(engine.run(reads))
     dt = time.perf_counter() - t0
+    n_recruited = sum(r.recruited for r in results)
 
-    bases = n_iter * B * L            # each read scanned once per strand
-    bases_per_s = bases / dt
-    reads_per_s = bases_per_s / MEAN_READ_LEN
+    reads_per_s = len(reads) / dt
+    assert n_recruited >= int(N_READS * CEN_FRACTION), \
+        (n_recruited, "missed centromeric reads")
     print(json.dumps({
-        "metric": "recruitment_reads_per_s_1chip",
+        "metric": "recruitment_reads_per_s_1chip_e2e",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),

@@ -30,6 +30,12 @@ class RecruitmentConfig:
     # Reads longer than this are scanned in chunks with (unit+threshold)-sized
     # overlap so an instance spanning a boundary is not missed.
     max_read_len: int = 131072
+    # Seed prefilter (ops/seed_filter): segments with fewer than
+    # min_seed_hits unit seed-k-mer hits skip the alignment kernel. Set
+    # prefilter=False for the pure-Myers exact path (parity runs).
+    prefilter: bool = True
+    seed_k: int = 13
+    min_seed_hits: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

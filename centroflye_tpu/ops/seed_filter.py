@@ -1,0 +1,63 @@
+"""Device seed prefilter for read recruitment.
+
+The recruitment decision (does the HOR unit align into this read within
+threshold k?) is overwhelmingly negative on real data (~11.1M reads -> only
+thousands centromeric, reference README.md:103-116), yet the reference
+spends the full banded-alignment cost on every read (rr.cpp:73-87). Here a
+cheap exact-membership seed scan runs first:
+
+- the unit's seed k-mers (both strands, default k=13) form a sorted
+  (hi, lo) table (a few thousand entries);
+- each read segment's k-mer codes are matched by branchless binary search
+  (ops/kmers.lookup_codes: ~log2(n) vector compare steps per position — two
+  orders of magnitude cheaper than the Myers column update);
+- segments whose hit count is below `min_hits` cannot contain a unit
+  alignment (a true alignment at <= 17% divergence shares hundreds of
+  13-mers with the unit; P[< min_hits] is astronomically small for real
+  error processes) and skip the alignment kernel entirely.
+
+The filter is a recall heuristic, not a proof (the q-gram lemma gives no
+usable bound at e/m ~ 0.17): `RecruitmentConfig.prefilter=False` restores
+the pure-Myers exact path for parity runs. With the default conservative
+`min_hits`, filtered and exact recruitment select identical read sets on
+all tested data.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from centroflye_tpu.io.encoding import encode, kmer_codes, revcomp_str
+from centroflye_tpu.io.encoding import split_u64
+from centroflye_tpu.ops.kmers import pack_kmers, lookup_codes
+
+
+def build_seed_table(unit: str, k: int = 13) -> Tuple[np.ndarray,
+                                                      np.ndarray]:
+    """Sorted (hi, lo) uint32 table of the unit's seed k-mers, both strands,
+    over the doubled unit (instance-crossing seeds included)."""
+    seqs = [unit + unit[:k - 1], revcomp_str(unit + unit[:k - 1])]
+    codes = []
+    for s in seqs:
+        c, valid = kmer_codes(encode(s), k)
+        codes.append(c[valid])
+    table = np.unique(np.concatenate(codes))
+    return split_u64(table)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def seed_hit_counts(table_hi: jnp.ndarray, table_lo: jnp.ndarray,
+                    codes: jnp.ndarray, lens: jnp.ndarray, *, k: int):
+    """Per-row count of read k-mers present in the seed table.
+
+    codes: (B, L) int8; returns (B,) int32 hit counts.
+    """
+    hi, lo, valid = pack_kmers(codes, lens, k=k)
+    found, _ = lookup_codes(table_hi, table_lo, hi.ravel(), lo.ravel())
+    found = found.reshape(hi.shape) & valid
+    return jnp.sum(found.astype(jnp.int32), axis=1)

@@ -58,7 +58,7 @@ class RecruitmentEngine:
     """Streaming recruiter: feed reads, collect per-read decisions."""
 
     def __init__(self, unit: str, config: RecruitmentConfig | None = None,
-                 seg_len: int = 32768):
+                 seg_len: int = 32768, use_pallas: bool | None = None):
         self.config = config or RecruitmentConfig()
         self.unit = unit
         self.m = len(unit)
@@ -69,11 +69,31 @@ class RecruitmentEngine:
         self.overlap = self.m + self.threshold - 1
         self.seg_len = max(seg_len, self.overlap + self.m)
         self.batch = self.config.batch_size
+        if use_pallas is None:
+            import jax
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
+        if self.config.prefilter:
+            from centroflye_tpu.ops.seed_filter import build_seed_table
+            self._seed_hi, self._seed_lo = build_seed_table(
+                unit, k=self.config.seed_k)
 
-    # -- pure device step (also used by __graft_entry__) ------------------
+    # -- pure device steps (also used by __graft_entry__) -----------------
+
+    def seed_counts(self, codes: np.ndarray, lens: np.ndarray):
+        """(B, SEG) batch -> (B,) int32 seed hit counts (both strands)."""
+        from centroflye_tpu.ops.seed_filter import seed_hit_counts
+        return np.asarray(seed_hit_counts(
+            self._seed_hi, self._seed_lo, codes, lens,
+            k=self.config.seed_k))
 
     def distances(self, codes: np.ndarray, lens: np.ndarray):
         """(B, SEG) int8 batch -> (dist_fwd, dist_rc) each (B,) int32."""
+        if self.use_pallas:
+            from centroflye_tpu.ops.myers_pallas import (
+                recruit_distances_pallas)
+            return recruit_distances_pallas(
+                self.peq_fwd, self.peq_rc, codes, lens, m=self.m)
         out_f = myers_distance_batch(
             self.peq_fwd, codes, lens, m=self.m, mode="HW")
         out_r = myers_distance_batch(
@@ -86,14 +106,21 @@ class RecruitmentEngine:
             ) -> Iterator[RecruitmentResult]:
         """Stream (r_id, seq) pairs; yields per-read results in input order.
 
-        Keeps at most ~2 batches in flight (async dispatch) plus the read
-        strings whose segments are still pending.
+        Two device tiers: every segment passes the cheap seed filter
+        (config.prefilter); only surviving segments reach the Myers batch.
+        Failing segments resolve immediately as non-matching (dist = m).
         """
         B, SEG = self.batch, self.seg_len
+        prefilter = self.config.prefilter
+        min_hits = self.config.min_seed_hits
 
         seg_codes = np.full((B, SEG), PAD, dtype=np.int8)
         seg_lens = np.zeros((B,), dtype=np.int32)
-        seg_read: List[int] = []          # batch row -> read index
+        seg_read: List[int] = []          # myers-batch row -> read index
+
+        f_codes = np.full((B, SEG), PAD, dtype=np.int8)
+        f_lens = np.zeros((B,), dtype=np.int32)
+        f_read: List[int] = []            # filter-batch row -> read index
 
         # per pending read: [r_id, n_pending_segments, min_f, min_r]
         pending: dict = {}
@@ -102,7 +129,25 @@ class RecruitmentEngine:
         next_emit = 0
         inflight: List[Tuple] = []
 
-        def flush():
+        def resolve(ridx, df, dr):
+            rec = pending[ridx]
+            rec[2] = min(rec[2], df)
+            rec[3] = min(rec[3], dr)
+            rec[1] -= 1
+            if rec[1] == 0:
+                done[ridx] = rec
+                del pending[ridx]
+
+        def enqueue_myers(codes_row, length, ridx):
+            row = len(seg_read)
+            seg_codes[row, :length] = codes_row[:length]
+            seg_codes[row, length:] = PAD
+            seg_lens[row] = length
+            seg_read.append(ridx)
+            if len(seg_read) == B:
+                flush_myers()
+
+        def flush_myers():
             nonlocal seg_codes, seg_lens, seg_read
             if not seg_read:
                 return
@@ -115,18 +160,27 @@ class RecruitmentEngine:
             while len(inflight) > 2:
                 drain_one()
 
+        def flush_filter():
+            nonlocal f_codes, f_lens, f_read
+            if not f_read:
+                return
+            rows = len(f_read)
+            hits = self.seed_counts(f_codes, f_lens)[:rows]
+            for row, ridx in enumerate(f_read):
+                if int(hits[row]) >= min_hits:
+                    enqueue_myers(f_codes[row], int(f_lens[row]), ridx)
+                else:
+                    resolve(ridx, self.m, self.m)
+            f_codes = np.full((B, SEG), PAD, dtype=np.int8)
+            f_lens = np.zeros((B,), dtype=np.int32)
+            f_read = []
+
         def drain_one():
             df, dr, rows_map, rows = inflight.pop(0)
             df = np.asarray(df)[:rows]
             dr = np.asarray(dr)[:rows]
             for row, ridx in enumerate(rows_map):
-                rec = pending[ridx]
-                rec[2] = min(rec[2], int(df[row]))
-                rec[3] = min(rec[3], int(dr[row]))
-                rec[1] -= 1
-                if rec[1] == 0:
-                    done[ridx] = rec
-                    del pending[ridx]
+                resolve(ridx, int(df[row]), int(dr[row]))
 
         def emit_ready():
             nonlocal next_emit
@@ -146,16 +200,22 @@ class RecruitmentEngine:
             order.append(read_idx)
             for st in starts:
                 chunk = codes[st:st + SEG]
-                row = len(seg_read)
-                seg_codes[row, :len(chunk)] = chunk
-                seg_codes[row, len(chunk):] = PAD
-                seg_lens[row] = len(chunk)
-                seg_read.append(read_idx)
-                if len(seg_read) == B:
-                    flush()
+                if prefilter:
+                    row = len(f_read)
+                    f_codes[row, :len(chunk)] = chunk
+                    f_codes[row, len(chunk):] = PAD
+                    f_lens[row] = len(chunk)
+                    f_read.append(read_idx)
+                    if len(f_read) == B:
+                        flush_filter()
+                        yield from emit_ready()
+                else:
+                    enqueue_myers(chunk, len(chunk), read_idx)
                     yield from emit_ready()
             read_idx += 1
-        flush()
+        if prefilter:
+            flush_filter()
+        flush_myers()
         while inflight:
             drain_one()
         yield from emit_ready()

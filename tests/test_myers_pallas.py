@@ -1,0 +1,73 @@
+"""Pallas recruitment kernel vs the scan kernel and the DP oracle
+(interpret mode on CPU; the real-chip path is exercised by bench.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from centroflye_tpu.io import encode, encode_batch
+from centroflye_tpu.ops.myers import (
+    build_peq, myers_distance_batch, edit_distance_oracle,
+)
+
+
+def run_pallas(query, texts, L=256):
+    from centroflye_tpu.ops import myers_pallas as mp
+    peq = build_peq(encode(query))
+    codes, lens = encode_batch(texts, max_len=L)
+    # pad batch to TILE_B multiple
+    B = len(texts)
+    pad = (-B) % mp.TILE_B
+    if pad:
+        codes = np.concatenate(
+            [codes, np.full((pad, L), 4, np.int8)], axis=0)
+        lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+    import jax.numpy as jnp
+    with jax.disable_jit(False):
+        from jax.experimental import pallas as pl
+        out = mp.myers_hw_pallas(
+            jnp.asarray(peq), jnp.asarray(codes).T,
+            jnp.asarray(lens).reshape(-1, 1), m=len(query))
+    return (np.asarray(out["dist"])[:B], np.asarray(out["end"])[:B])
+
+
+@pytest.mark.parametrize("m", [23, 64, 100])
+def test_pallas_matches_oracle(m, rng, make_dna):
+    q = make_dna(m)
+    texts = [make_dna(int(rng.integers(10, 250))) for _ in range(8)]
+    dist, end = run_pallas(q, texts)
+    for i, t in enumerate(texts):
+        od, oend = edit_distance_oracle(q, t, mode="HW")
+        assert dist[i] == od, (m, i)
+        assert end[i] == oend, (m, i)
+
+
+def test_pallas_matches_scan_kernel(rng, make_dna):
+    q = make_dna(150)
+    texts = [make_dna(int(rng.integers(100, 500))) for _ in range(16)]
+    dist, end = run_pallas(q, texts, L=512)
+    peq = build_peq(encode(q))
+    codes, lens = encode_batch(texts, max_len=512)
+    ref = myers_distance_batch(peq, codes, lens, m=len(q), mode="HW")
+    assert np.array_equal(dist, np.asarray(ref["dist"]))
+    assert np.array_equal(end, np.asarray(ref["end"]))
+
+
+def test_pallas_recruit_distances(make_dna, rng):
+    from centroflye_tpu.ops.myers_pallas import recruit_distances_pallas
+    from centroflye_tpu.io.encoding import revcomp, encode as enc
+    from centroflye_tpu.pipeline.simulate import add_read_noise
+    unit = make_dna(120)
+    fwd_read = add_read_noise(rng, unit * 3, 0.05)
+    from centroflye_tpu.io.encoding import revcomp_str
+    rc_read = revcomp_str(fwd_read)
+    bg = make_dna(400)
+    codes, lens = encode_batch(
+        [fwd_read, rc_read, bg] + [bg] * 5, max_len=512)
+    peq_f = build_peq(enc(unit))
+    peq_r = build_peq(revcomp(enc(unit)))
+    df, dr = recruit_distances_pallas(peq_f, peq_r, codes, lens, m=120)
+    df, dr = np.asarray(df), np.asarray(dr)
+    assert df[0] < 30 and dr[1] < 30
+    assert min(df[2], dr[2]) > 30
+    assert df[0] == dr[1]  # strand symmetry
