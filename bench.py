@@ -58,7 +58,7 @@ def main():
     total_bases = sum(len(s) for _, s in reads)
 
     engine = RecruitmentEngine(
-        unit, RecruitmentConfig(threshold=350, batch_size=256),
+        unit, RecruitmentConfig(threshold=350, batch_size=1024),
         seg_len=16384)
 
     # warmup on a slice (compile both tiers)

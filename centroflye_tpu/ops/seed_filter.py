@@ -50,10 +50,49 @@ def build_seed_table(unit: str, k: int = 13) -> Tuple[np.ndarray,
     return split_u64(table)
 
 
+def build_seed_bitmap(unit: str, k: int = 13) -> np.ndarray:
+    """Direct-address membership bitmap over all 4^k k-mers (k <= 15:
+    4^13 = 8 MB of bits as uint32[4^k / 32]) — one gather per query
+    position instead of a log(n) binary-search gather chain, which is the
+    difference between ~50M and ~500M+ filter positions/s on TPU."""
+    assert k <= 15, "direct-address bitmap needs k <= 15"
+    seqs = [unit + unit[:k - 1], revcomp_str(unit + unit[:k - 1])]
+    bitmap = np.zeros(4 ** k // 32, dtype=np.uint32)
+    for s in seqs:
+        c, valid = kmer_codes(encode(s), k)
+        c = c[valid].astype(np.uint64)
+        bitmap[(c >> np.uint64(5)).astype(np.int64)] |= (
+            np.uint32(1) << (c & np.uint64(31)).astype(np.uint32))
+    return bitmap
+
+
+@functools.partial(jax.jit, static_argnames=("k", "stride"))
+def seed_hit_counts_bitmap(bitmap: jnp.ndarray, codes: jnp.ndarray,
+                           lens: jnp.ndarray, *, k: int, stride: int = 1):
+    """Per-row count of read k-mers present in the seed bitmap, optionally
+    sampling every `stride`-th position (recall scales ~1/stride; callers
+    scale min_hits accordingly).
+
+    codes: (B, L) int8; returns (B,) int32 hit counts.
+    """
+    hi, lo, valid = pack_kmers(codes, lens, k=k)
+    lo = lo[:, ::stride]
+    valid = valid[:, ::stride]
+    word = (lo >> jnp.uint32(5)).astype(jnp.int32)
+    bit = (lo & jnp.uint32(31))
+    # single dense gather; invalid positions index word 0 harmlessly and
+    # are masked after
+    word = jnp.where(valid, word, 0)
+    got = bitmap[word.ravel()].reshape(word.shape)
+    found = (((got >> bit) & 1) == 1) & valid
+    return jnp.sum(found.astype(jnp.int32), axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def seed_hit_counts(table_hi: jnp.ndarray, table_lo: jnp.ndarray,
                     codes: jnp.ndarray, lens: jnp.ndarray, *, k: int):
-    """Per-row count of read k-mers present in the seed table.
+    """Per-row count of read k-mers present in the sorted seed table
+    (binary-search path; prefer seed_hit_counts_bitmap on TPU).
 
     codes: (B, L) int8; returns (B,) int32 hit counts.
     """

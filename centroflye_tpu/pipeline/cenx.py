@@ -34,11 +34,18 @@ from centroflye_tpu.stages.unit_decomposition import (
 
 
 class CenXPipeline:
-    def __init__(self, unit: str, config: CentroFlyeConfig, outdir: str):
+    def __init__(self, unit: str, config: CentroFlyeConfig, outdir: str,
+                 ncrf_report: Optional[str] = None):
+        """ncrf_report: optional pinned NCRF report file — when given, the
+        decomposition stage parses it (stages/ncrf_compat) instead of
+        running the in-repo decomposer (bit-for-bit parity configs)."""
+        from centroflye_tpu.utils.logging_utils import MetricsRegistry
         self.unit = unit
         self.config = config
         self.outdir = outdir
+        self.ncrf_report = ncrf_report
         os.makedirs(outdir, exist_ok=True)
+        self.metrics = MetricsRegistry(outdir)
 
     # ----------------------------------------------------------------- #
     def _artifact(self, *parts) -> str:
@@ -50,10 +57,11 @@ class CenXPipeline:
         if os.path.exists(out_fn):
             return out_fn
         from centroflye_tpu.stages.recruitment import recruit_file
-        recruit_file(
-            self._write_unit(), reads_fn, out_fn,
-            threshold=self.config.recruitment.threshold,
-            batch_size=self.config.recruitment.batch_size)
+        with self.metrics.stage("recruitment", "reads") as m:
+            m.items = recruit_file(
+                self._write_unit(), reads_fn, out_fn,
+                threshold=self.config.recruitment.threshold,
+                batch_size=self.config.recruitment.batch_size)
         return out_fn
 
     def _write_unit(self) -> str:
@@ -63,12 +71,22 @@ class CenXPipeline:
         return unit_fn
 
     def run_decomposition(self, centromeric_fn: str) -> Decomposition:
-        """Stage 2: tandem decomposition (NCRF-report role)."""
+        """Stage 2: tandem decomposition (NCRF-report role). With a pinned
+        NCRF report, parse it instead (parity path)."""
         cache_fn = self._artifact("decomposition.json")
         if os.path.exists(cache_fn):
             return load_decomposition(cache_fn)
-        decomposer = UnitDecomposer(self.unit, self.config.decomposition)
-        dec = decomposer.decompose(iter_seqs(centromeric_fn))
+        if self.ncrf_report:
+            from centroflye_tpu.stages.ncrf_compat import parse_ncrf_report
+            dec = parse_ncrf_report(
+                self.ncrf_report,
+                min_record_len=self.config.decomposition.min_record_len)
+        else:
+            decomposer = UnitDecomposer(self.unit,
+                                        self.config.decomposition)
+            with self.metrics.stage("decomposition", "reads") as m:
+                dec = decomposer.decompose(iter_seqs(centromeric_fn))
+                m.items = len(dec.records)
         save_decomposition(dec, cache_fn)
         return dec
 
@@ -93,11 +111,13 @@ class CenXPipeline:
 
         records = {r: dec.records[r] for r in sorted(dec.records)}
         seqs = [rec.seq for rec in records.values()]
-        rare = get_rare_kmers(seqs, kcfg, self.config.coverage)
-        clouds = build_read_clouds(records, rare, kcfg.k)
-        _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
-        uniq_codes, edges = recruit_unique_kmers(
-            tensor, n_units, rare, kcfg)
+        with self.metrics.stage("unique_kmers", "kmers") as m:
+            rare = get_rare_kmers(seqs, kcfg, self.config.coverage)
+            clouds = build_read_clouds(records, rare, kcfg.k)
+            _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
+            uniq_codes, edges = recruit_unique_kmers(
+                tensor, n_units, rare, kcfg)
+            m.items = len(uniq_codes)
 
         # artifact parity: sorted kmer strings, one per line (reference
         # distance_based_kmer_recruitment.py:158-171)
@@ -132,7 +152,9 @@ class CenXPipeline:
         if os.path.exists(pos_fn):
             return read_positions_file(pos_fn), clouds
         placer = ReadPlacer(pcfg)
-        placements = placer.run(dec, clouds)
+        with self.metrics.stage("placement", "reads") as m:
+            placements = placer.run(dec, clouds)
+            m.items = sum(1 for p in placements.values() if p is not None)
         placer.write_positions(pos_fn)
         return placements, clouds
 
@@ -157,8 +179,11 @@ class CenXPipeline:
         unit_instances = {r_id: rec.motif_alignments()
                           for r_id, rec in dec.records.items()}
         polisher = EltrPolisher(self.config.polisher)
-        out = polisher.run(placements, unit_instances,
-                           outdir=self._artifact("polishing"))
+        with self.metrics.stage("polishing", "positions") as m:
+            out = polisher.run(placements, unit_instances,
+                               outdir=self._artifact("polishing"))
+            m.items = len(out.final_sequences.get(
+                self.config.polisher.num_iters, ""))
         n = self.config.polisher.num_iters
         final = out.final_sequences.get(n, "")
         write_seqs(final_fn, {"centroFlye_assembly": final})
@@ -229,11 +254,21 @@ def main(argv=None):
     parser.add_argument("-u", "--unit", required=True,
                         help="HOR unit FASTA (DXZ1_rc for cenX)")
     parser.add_argument("-c", "--coverage", type=int, required=True)
+    parser.add_argument("--ncrf", help="pinned NCRF report (parity path: "
+                        "parse it instead of running the decomposer)")
+    parser.add_argument("--config", help="JSON config file overriding "
+                        "defaults (CentroFlyeConfig.to_json format)")
     args = parser.parse_args(argv)
 
-    config = CentroFlyeConfig(coverage=args.coverage)
+    if args.config:
+        with open(args.config) as f:
+            config = CentroFlyeConfig.from_json(f.read())
+        config = config.replace(coverage=args.coverage)
+    else:
+        config = CentroFlyeConfig(coverage=args.coverage)
     unit = read_seq(args.unit)
-    pipeline = CenXPipeline(unit, config, args.outdir)
+    pipeline = CenXPipeline(unit, config, args.outdir,
+                            ncrf_report=args.ncrf)
     final = pipeline.run(args.reads)
     print(f"final assembly length: {len(final)}")
 

@@ -74,9 +74,19 @@ class RecruitmentEngine:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
         if self.config.prefilter:
-            from centroflye_tpu.ops.seed_filter import build_seed_table
+            from centroflye_tpu.ops.seed_filter import (
+                build_seed_table, build_seed_bitmap)
+            from centroflye_tpu.ops.fused_recruit import make_fused_recruit
             self._seed_hi, self._seed_lo = build_seed_table(
                 unit, k=self.config.seed_k)
+            self._seed_bitmap = build_seed_bitmap(
+                unit, k=self.config.seed_k)
+            self.k_budget = 128
+            self._fused = make_fused_recruit(
+                self._seed_bitmap, self.peq_fwd, self.peq_rc,
+                m=self.m, seed_k=self.config.seed_k,
+                min_hits=self.config.min_seed_hits,
+                k_budget=self.k_budget, use_pallas=self.use_pallas)
 
     # -- pure device steps (also used by __graft_entry__) -----------------
 
@@ -110,16 +120,21 @@ class RecruitmentEngine:
         (config.prefilter); only surviving segments reach the Myers batch.
         Failing segments resolve immediately as non-matching (dist = m).
         """
-        B, SEG = self.batch, self.seg_len
+        SEG = self.seg_len
         prefilter = self.config.prefilter
         min_hits = self.config.min_seed_hits
+        # two tiers: the filter sees every segment (big batches amortize
+        # dispatch), the Myers kernel sees only survivors (small batches
+        # avoid padding waste)
+        B_f = self.batch
+        B = 128 if prefilter else self.batch
 
         seg_codes = np.full((B, SEG), PAD, dtype=np.int8)
         seg_lens = np.zeros((B,), dtype=np.int32)
         seg_read: List[int] = []          # myers-batch row -> read index
 
-        f_codes = np.full((B, SEG), PAD, dtype=np.int8)
-        f_lens = np.zeros((B,), dtype=np.int32)
+        f_codes = np.full((B_f, SEG), PAD, dtype=np.int8)
+        f_lens = np.zeros((B_f,), dtype=np.int32)
         f_read: List[int] = []            # filter-batch row -> read index
 
         # per pending read: [r_id, n_pending_segments, min_f, min_r]
@@ -161,18 +176,31 @@ class RecruitmentEngine:
                 drain_one()
 
         def flush_filter():
+            """Fused path: one device call computes the filter AND the
+            Myers distances of passing rows (ops/fused_recruit); overflow
+            beyond the device survivor budget falls back to the plain
+            Myers tier."""
             nonlocal f_codes, f_lens, f_read
             if not f_read:
                 return
             rows = len(f_read)
-            hits = self.seed_counts(f_codes, f_lens)[:rows]
-            for row, ridx in enumerate(f_read):
-                if int(hits[row]) >= min_hits:
-                    enqueue_myers(f_codes[row], int(f_lens[row]), ridx)
-                else:
-                    resolve(ridx, self.m, self.m)
-            f_codes = np.full((B, SEG), PAD, dtype=np.int8)
-            f_lens = np.zeros((B,), dtype=np.int32)
+            from centroflye_tpu.ops.fused_recruit import pack_2bit
+            packed, n_mask = pack_2bit(f_codes)
+            df, dr, hits, n_pass = self._fused(packed, n_mask, f_lens)
+            df = np.asarray(df)
+            dr = np.asarray(dr)
+            hits = np.asarray(hits)
+            if int(n_pass) <= self.k_budget:
+                for row, ridx in enumerate(f_read):
+                    resolve(ridx, int(df[row]), int(dr[row]))
+            else:
+                for row, ridx in enumerate(f_read):
+                    if int(hits[row]) >= min_hits:
+                        enqueue_myers(f_codes[row], int(f_lens[row]), ridx)
+                    else:
+                        resolve(ridx, self.m, self.m)
+            f_codes = np.full((B_f, SEG), PAD, dtype=np.int8)
+            f_lens = np.zeros((B_f,), dtype=np.int32)
             f_read = []
 
         def drain_one():
@@ -206,7 +234,7 @@ class RecruitmentEngine:
                     f_codes[row, len(chunk):] = PAD
                     f_lens[row] = len(chunk)
                     f_read.append(read_idx)
-                    if len(f_read) == B:
+                    if len(f_read) == B_f:
                         flush_filter()
                         yield from emit_ready()
                 else:

@@ -1,0 +1,119 @@
+"""Seed prefilter + fused recruitment step tests (CPU)."""
+
+import numpy as np
+import pytest
+
+from centroflye_tpu.io import encode, encode_batch
+from centroflye_tpu.io.encoding import revcomp_str
+from centroflye_tpu.ops.seed_filter import (
+    build_seed_table, build_seed_bitmap, seed_hit_counts,
+    seed_hit_counts_bitmap,
+)
+from centroflye_tpu.ops.fused_recruit import (
+    pack_2bit, _unpack_2bit, make_fused_recruit,
+)
+from centroflye_tpu.ops.myers import build_peq, edit_distance_oracle
+from centroflye_tpu.pipeline.simulate import gen_random_seq, add_read_noise
+
+K = 11
+
+
+def oracle_hits(unit, seq, k, stride=1):
+    doubled = unit + unit[:k - 1]
+    seeds = {doubled[i:i + k] for i in range(len(doubled) - k + 1)}
+    rc = revcomp_str(doubled)
+    seeds |= {rc[i:i + k] for i in range(len(rc) - k + 1)}
+    n = 0
+    for i in range(0, len(seq) - k + 1, stride):
+        if seq[i:i + k] in seeds:
+            n += 1
+    return n
+
+
+def test_seed_counts_vs_oracle(rng):
+    unit = gen_random_seq(rng, 150)
+    reads = [add_read_noise(rng, unit * 3, 0.1),
+             gen_random_seq(rng, 400),
+             revcomp_str(add_read_noise(rng, unit * 2, 0.05))]
+    codes, lens = encode_batch(reads, max_len=512)
+    hi, lo = build_seed_table(unit, K)
+    got = np.asarray(seed_hit_counts(hi, lo, codes, lens, k=K))
+    bm = build_seed_bitmap(unit, K)
+    got_bm = np.asarray(seed_hit_counts_bitmap(bm, codes, lens, k=K))
+    for i, r in enumerate(reads):
+        want = oracle_hits(unit, r, K)
+        assert got[i] == want, i
+        assert got_bm[i] == want, i
+    # tandem reads have many hits; random read has few
+    assert got[0] > 50 and got[2] > 30
+    assert got[1] < 10
+
+
+def test_seed_bitmap_stride(rng):
+    unit = gen_random_seq(rng, 150)
+    read = add_read_noise(rng, unit * 3, 0.05)
+    codes, lens = encode_batch([read], max_len=512)
+    bm = build_seed_bitmap(unit, K)
+    got = np.asarray(seed_hit_counts_bitmap(bm, codes, lens, k=K,
+                                            stride=3))[0]
+    assert got == oracle_hits(unit, read, K, stride=3)
+
+
+def test_pack_unpack_roundtrip(rng):
+    codes = rng.integers(0, 5, size=(4, 64)).astype(np.int8)
+    packed, n_mask = pack_2bit(codes)
+    # bytes per row: 64/4 = 16 codes + 8 mask
+    assert packed.shape == (4, 16) and n_mask.shape == (4, 8)
+    back = np.asarray(_unpack_2bit(packed, n_mask))
+    want = np.where(codes >= 4, 4, codes)
+    assert np.array_equal(back, want)
+
+
+def test_fused_recruit_matches_plain(rng):
+    unit = gen_random_seq(rng, 128)
+    m = len(unit)
+    from centroflye_tpu.io.encoding import revcomp, encode as enc
+    peq_f = build_peq(enc(unit))
+    peq_r = build_peq(revcomp(enc(unit)))
+    bm = build_seed_bitmap(unit, K)
+
+    reads = [add_read_noise(rng, unit * 3, 0.08) if i % 5 == 0
+             else gen_random_seq(rng, 400) for i in range(16)]
+    codes, lens = encode_batch(reads, max_len=512)
+    packed, n_mask = pack_2bit(codes)
+    fused = make_fused_recruit(bm, peq_f, peq_r, m=m, seed_k=K,
+                               min_hits=6, k_budget=8, stride=1,
+                               use_pallas=False)
+    df, dr, hits, n_pass = fused(packed, n_mask, lens)
+    df, dr = np.asarray(df), np.asarray(dr)
+    assert int(n_pass) <= 8
+    for i, r in enumerate(reads):
+        want_f, _ = edit_distance_oracle(unit, r, mode="HW")
+        if i % 5 == 0:
+            # tandem reads pass the filter and get exact distances
+            assert df[i] == want_f, i
+        else:
+            # filtered rows carry the sentinel m
+            assert df[i] == m and dr[i] == m
+
+
+def test_engine_prefilter_equals_exact(rng):
+    from centroflye_tpu.config import RecruitmentConfig
+    from centroflye_tpu.stages.recruitment import RecruitmentEngine
+    unit = gen_random_seq(rng, 200)
+    reads = []
+    for i in range(24):
+        if i % 6 == 0:
+            reads.append((f"cen{i}", add_read_noise(rng, unit * 5, 0.08)))
+        else:
+            reads.append((f"bg{i}", gen_random_seq(rng, 1200)))
+    base = dict(threshold=50, batch_size=8)
+    exact = RecruitmentEngine(
+        unit, RecruitmentConfig(prefilter=False, **base), seg_len=2048)
+    filt = RecruitmentEngine(
+        unit, RecruitmentConfig(prefilter=True, min_seed_hits=4, **base),
+        seg_len=2048)
+    res_e = {r.r_id: r.recruited for r in exact.run(reads)}
+    res_f = {r.r_id: r.recruited for r in filt.run(reads)}
+    assert res_e == res_f
+    assert sum(res_e.values()) == 4
