@@ -225,3 +225,17 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def parse_sim_read_id(r_id: str) -> Optional[Dict[str, object]]:
+    """Parse this simulator's read ids ("sim_read_<idx>_<strand>" /
+    "tile_read_<idx>_<strand>") into metadata — the role of the reference's
+    scripts/read.py SimLoRD-metadata parser for our own simulator."""
+    parts = r_id.split("_")
+    if len(parts) != 4 or parts[1] != "read":
+        return None
+    try:
+        return {"kind": parts[0], "index": int(parts[2]),
+                "strand": parts[3]}
+    except ValueError:
+        return None

@@ -134,3 +134,20 @@ def write_ncrf_like_report(dec: Decomposition, motif: str,
             print(f"{motif}{rec.strand} {len(al)}bp score=-1 {al}",
                   file=f)
             print("", file=f)
+
+
+def extract_motif_alignments(dec: Decomposition, outdir: str,
+                             buffer: int = 20) -> None:
+    """Debug dump: per-read FASTA of unit-instance segments with `buffer`
+    flanking bases (role of the reference's misc/extract_ncrf_mas.py tool)."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    for r_id, rec in dec.records.items():
+        out_fn = os.path.join(outdir, f"{r_id}.fasta")
+        with open(out_fn, "w") as f:
+            for i in range(rec.n_units):
+                st = max(0, int(rec.bounds[i]) - buffer)
+                en = min(len(rec.seq), int(rec.bounds[i + 1]) + buffer)
+                print(f">{r_id}|unit_{i}|{st}-{en}", file=f)
+                print(rec.seq[st:en], file=f)

@@ -222,7 +222,7 @@ class RecruitmentEngine:
 
         read_idx = 0
         for r_id, seq in reads:
-            codes = encode(seq)
+            codes = seq if isinstance(seq, np.ndarray) else encode(seq)
             starts = segment_starts(len(codes), SEG, self.overlap)
             pending[read_idx] = [r_id, len(starts), self.m, self.m]
             order.append(read_idx)
@@ -254,8 +254,12 @@ def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
                  seg_len: int = 32768) -> int:
     """File-level driver with the same CLI contract as the reference rr
     binary (rr.cpp:43: unit.fasta reads.fasta[.gz] output.fasta threshold).
-    Returns the number of recruited reads."""
+    Returns the number of recruited reads. Uses the native streaming
+    packer (native/seqio.cpp) when built — base codes flow from the C++
+    reader straight into device batches; only recruited reads are decoded
+    back to strings for output."""
     from centroflye_tpu.io import read_seq, iter_seqs
+    from centroflye_tpu.io.encoding import decode
 
     unit = read_seq(unit_fn)
     engine = RecruitmentEngine(
@@ -263,14 +267,25 @@ def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
         seg_len=seg_len)
 
     n_recruited = 0
-    # recruited reads stream straight to the output FASTA; we re-read the
-    # sequences lazily to avoid holding all reads in memory
+    # recruited reads stream straight to the output FASTA; sequences are
+    # held (as codes or strings) only while their decision is pending
     reads_by_id: dict = {}
 
     def reads_iter():
-        for r_id, seq in iter_seqs(reads_fn):
-            reads_by_id[r_id] = seq
-            yield r_id, seq
+        try:
+            from centroflye_tpu.native import (
+                native_available, native_iter_seqs)
+            use_native = native_available()
+        except ImportError:
+            use_native = False
+        if use_native:
+            for r_id, codes in native_iter_seqs(reads_fn):
+                reads_by_id[r_id] = codes
+                yield r_id, codes
+        else:
+            for r_id, seq in iter_seqs(reads_fn):
+                reads_by_id[r_id] = seq
+                yield r_id, seq
 
     import os
     os.makedirs(os.path.dirname(os.path.abspath(output_fn)), exist_ok=True)
@@ -278,6 +293,8 @@ def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
         for res in engine.run(reads_iter()):
             seq = reads_by_id.pop(res.r_id)
             if res.recruited:
+                if isinstance(seq, np.ndarray):
+                    seq = decode(seq)
                 out.write(f">{res.r_id}\n{seq}\n")
                 n_recruited += 1
     return n_recruited
