@@ -125,13 +125,40 @@ def write_ncrf_like_report(dec: Decomposition, motif: str,
     """Write our decomposition in an NCRF-like 2-line record format
     (alignment strings are unavailable without a PATH pass, so the read
     substring doubles as both sides; fidelity sufficient for coordinate
-    consumers, flagged via score=-1 (parser accepts negative scores))."""
+    consumers — and, on NOISELESS data, sufficient for the reference
+    parser's motif-regex splitting, enabling bit-for-bit parity runs of the
+    reference's downstream Python stages against ours).
+
+    Records are DE-canonicalized on write ('-' strand records emit the
+    reverse-complemented alignment and original-orientation coordinates) so
+    any NCRF parser — the reference's or ours — re-canonicalizes them back
+    to exactly this decomposition."""
     with open(out_fn, "w") as f:
         for r_id, rec in dec.records.items():
-            al = rec.seq
-            print(f"{r_id} {rec.r_len} {len(al)}bp "
-                  f"{rec.r_st}-{rec.r_en} {al}", file=f)
-            print(f"{motif}{rec.strand} {len(al)}bp score=-1 {al}",
+            r_al = rec.seq
+            # the motif side shows the MOTIF's characters per instance
+            # (exact for substitution-only divergence; partial first/last
+            # instances take the motif's tail/head)
+            parts = []
+            for i in range(rec.n_units):
+                ln = int(rec.bounds[i + 1]) - int(rec.bounds[i])
+                if ln == len(motif):
+                    parts.append(motif)
+                elif i == 0:
+                    parts.append(motif[-ln:] if ln <= len(motif)
+                                 else motif + motif[:ln - len(motif)])
+                else:
+                    parts.append(motif[:ln] if ln <= len(motif)
+                                 else motif + motif[:ln - len(motif)])
+            m_al = "".join(parts)
+            r_st, r_en = rec.r_st, rec.r_en
+            if rec.strand == "-":
+                r_al = revcomp_str(r_al)
+                m_al = revcomp_str(m_al)
+                r_st, r_en = rec.r_len - rec.r_en, rec.r_len - rec.r_st
+            print(f"{r_id} {rec.r_len} {len(r_al)}bp "
+                  f"{r_st}-{r_en} {r_al}", file=f)
+            print(f"{motif}{rec.strand} {len(m_al)}bp score=0 {m_al}",
                   file=f)
             print("", file=f)
 

@@ -1,0 +1,172 @@
+"""Bit-for-bit parity against the REFERENCE's own Python stages.
+
+On noiseless simulated data, our decomposition is exported as an NCRF-like
+report that the reference's parser splits identically; then the reference's
+actual `distance_based_kmer_recruitment.py` and `read_placer.py` (run as
+subprocesses from /root/reference with a minimal Bio stub) must produce
+exactly the same unique-k-mer set and read placements as our pipeline — the
+BASELINE "bit-for-bit output parity" requirement, demonstrated with the
+reference's own code as the oracle.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from centroflye_tpu.config import (
+    KmerRecruitmentConfig, PlacerConfig, UnitDecompositionConfig,
+)
+from centroflye_tpu.io.encoding import revcomp_str
+from centroflye_tpu.pipeline.simulate import (
+    gen_random_seq, simulate_tandem_repeat,
+)
+from centroflye_tpu.stages.unit_decomposition import UnitDecomposer
+from centroflye_tpu.stages.ncrf_compat import write_ncrf_like_report
+from centroflye_tpu.stages.rare_kmers import get_rare_kmers
+from centroflye_tpu.stages.kmer_cloud import (
+    build_read_clouds, filter_read_clouds, pad_clouds,
+)
+from centroflye_tpu.stages.distance_graph import recruit_unique_kmers
+from centroflye_tpu.stages.read_placer import (
+    ReadPlacer, read_positions_file,
+)
+from centroflye_tpu.io import kmer_strings
+
+REF = "/root/reference/scripts"
+STUBS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "ref_stubs")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "distance_based_kmer_recruitment.py")),
+    reason="reference not mounted")
+
+K = 13
+UNIT = 250            # reads must exceed the reference parser's hard
+MULT = 48             # min_record_len=5000 default (ncrf_parser.py:61)
+FLANK = 3000
+COVERAGE = 1
+MAXD = 6
+MINCOV = 2
+
+
+def ref_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = STUBS + ":" + REF
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    rng = np.random.default_rng(37)
+    unit = gen_random_seq(rng, UNIT)
+    sim = simulate_tandem_repeat(rng, unit, mult=MULT, div_rate=0.04,
+                                 flank_len=FLANK)
+    g = sim.flanked_tr
+    ts, te = FLANK, FLANK + len(sim.tr)
+    # NOISELESS reads, unit-aligned inside the repeat (so motif-regex
+    # splitting in the reference parser is exact); both strands
+    reads = []
+    for pi, left in enumerate([2500, 2100, 1700]):
+        reads.append((f"pre{pi}", g[ts - left:ts + 24 * UNIT]))
+    i = 0
+    start = ts
+    while start + 24 * UNIT < te:
+        seq = g[start:start + 24 * UNIT]
+        if i % 3 == 1:
+            seq = revcomp_str(seq)
+        reads.append((f"int{i:02d}", seq))
+        start += 6 * UNIT
+        i += 1
+    for si, right in enumerate([2500, 2100]):
+        reads.append((f"suf{si}", g[te - 24 * UNIT:te + right]))
+
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=5000)).decompose(reads)
+    assert len(dec.records) == len(reads)
+
+    outdir = str(tmp_path_factory.mktemp("parity"))
+    report_fn = os.path.join(outdir, "report.ncrf")
+    write_ncrf_like_report(dec, unit, report_fn)
+    return dict(unit=unit, dec=dec, outdir=outdir, report_fn=report_fn)
+
+
+@pytest.fixture(scope="module")
+def ours(world):
+    dec = world["dec"]
+    kcfg = KmerRecruitmentConfig(
+        k=K, min_distance=1, max_distance=MAXD, min_coverage=MINCOV,
+        bottom=0.0, top=1e9, max_nonuniq=3)
+    records = {r: dec.records[r] for r in sorted(dec.records)}
+    seqs = [rec.seq for rec in records.values()]
+    rare = get_rare_kmers(seqs, kcfg, COVERAGE)
+    clouds = build_read_clouds(records, rare, K)
+    _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
+    uniq, edges = recruit_unique_kmers(tensor, n_units, rare, kcfg)
+    uniq_strs = sorted(kmer_strings(uniq, K))
+
+    placer_cfg = PlacerConfig(
+        min_cloud_kmer_freq=2, min_kmer_mult=2, min_unit=2, min_inters=5,
+        min_prop=3, prefix_threshold=1500, small_threshold=1000)
+    clouds_u = build_read_clouds(records, uniq, K)
+    clouds_u = filter_read_clouds(clouds_u, min_mult=2)
+    placer = ReadPlacer(placer_cfg)
+    placements = placer.run(dec, clouds_u)
+    return dict(uniq_strs=uniq_strs, placements=placements)
+
+
+def test_reference_unique_kmers_match(world, ours, tmp_path):
+    refout = str(tmp_path / "ref_kmers")
+    cmd = [sys.executable,
+           os.path.join(REF, "distance_based_kmer_recruitment.py"),
+           "--ncrf", world["report_fn"],
+           "--coverage", str(COVERAGE),
+           "--min-coverage", str(MINCOV),
+           "--outdir", refout,
+           "-k", str(K),
+           "--min-distance", "1",
+           "--max-distance", str(MAXD),
+           "--bottom", "0.0",
+           "--top", "1e9",
+           "--max-nonuniq", "3"]
+    res = subprocess.run(cmd, env=ref_env(), capture_output=True, text=True,
+                         timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    ref_fn = os.path.join(refout, f"unique_kmers_min_edge_cov_{MINCOV}.txt")
+    with open(ref_fn) as f:
+        ref_kmers = sorted(line.strip() for line in f if line.strip())
+    assert ref_kmers == ours["uniq_strs"]
+    assert len(ref_kmers) > 20
+
+
+def test_reference_read_placement_matches(world, ours, tmp_path):
+    # write OUR unique kmers for the reference placer to consume
+    kmers_fn = str(tmp_path / "unique_kmers.txt")
+    with open(kmers_fn, "w") as f:
+        for s in ours["uniq_strs"]:
+            print(s, file=f)
+    refout = str(tmp_path / "ref_placer")
+    cmd = [sys.executable, os.path.join(REF, "read_placer.py"),
+           "--ncrf", world["report_fn"],
+           "--genomic-kmers", kmers_fn,
+           "--k-cloud", str(K),
+           "--min-cloud-kmer-freq", "2",
+           "--min-kmer-mult", "2",
+           "--min-unit", "2",
+           "--min-inters", "5",
+           "--prefix-threshold", "1500",
+           "--outdir", refout]
+    res = subprocess.run(cmd, env=ref_env(), capture_output=True, text=True,
+                         timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    ref_pos = read_positions_file(
+        os.path.join(refout, "read_positions.csv"))
+    ours_pos = ours["placements"]
+    assert set(ref_pos) == set(ours_pos)
+    for r_id in ref_pos:
+        assert ref_pos[r_id] == ours_pos[r_id], r_id
+    assert sum(1 for p in ref_pos.values() if p is not None) \
+        == len(ref_pos)
