@@ -84,11 +84,12 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         sub_codes = codes[top]
         sub_lens = lens[top]
         if use_pallas:
-            from centroflye_tpu.ops.myers_pallas import myers_hw_pallas
-            out_f = myers_hw_pallas(peq_fwd, sub_codes.T,
-                                    sub_lens.reshape(-1, 1), m=m)
-            out_r = myers_hw_pallas(peq_rc, sub_codes.T,
-                                    sub_lens.reshape(-1, 1), m=m)
+            from centroflye_tpu.ops.myers_pallas_v2 import (
+                myers_hw_pallas_v2)
+            out_f = myers_hw_pallas_v2(peq_fwd, sub_codes.T,
+                                       sub_lens.reshape(-1, 1), m=m)
+            out_r = myers_hw_pallas_v2(peq_rc, sub_codes.T,
+                                       sub_lens.reshape(-1, 1), m=m)
         else:
             out_f = myers_distance_batch(peq_fwd, sub_codes, sub_lens,
                                          m=m, mode="HW")

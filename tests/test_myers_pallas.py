@@ -71,3 +71,23 @@ def test_pallas_recruit_distances(make_dna, rng):
     assert df[0] < 30 and dr[1] < 30
     assert min(df[2], dr[2]) > 30
     assert df[0] == dr[1]  # strand symmetry
+
+
+def test_pallas_v2_matches_v1(rng, make_dna):
+    import jax.numpy as jnp
+    from centroflye_tpu.ops import myers_pallas as mp
+    from centroflye_tpu.ops.myers_pallas_v2 import myers_hw_pallas_v2
+    q = make_dna(150)
+    texts = [make_dna(int(rng.integers(50, 400))) for _ in range(16)]
+    peq = build_peq(encode(q))
+    codes, lens = encode_batch(texts, max_len=512)
+    B = len(texts)
+    pad = (-B) % mp.TILE_B
+    codes = np.concatenate([codes, np.full((pad, 512), 4, np.int8)])
+    lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+    ct = jnp.asarray(codes).T
+    l2 = jnp.asarray(lens).reshape(-1, 1)
+    o1 = mp.myers_hw_pallas(jnp.asarray(peq), ct, l2, m=len(q))
+    o2 = myers_hw_pallas_v2(jnp.asarray(peq), ct, l2, m=len(q))
+    assert np.array_equal(np.asarray(o1["dist"]), np.asarray(o2["dist"]))
+    assert np.array_equal(np.asarray(o1["end"]), np.asarray(o2["end"]))
