@@ -102,6 +102,13 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         dr = sentinel.at[top].set(
             jnp.where(sub_ok, out_r["dist"], m))
         n_pass = jnp.sum((~fail).astype(jnp.int32))
-        return df, dr, hits, n_pass
+        # ONE bundled output array -> one device->host transfer
+        return jnp.concatenate(
+            [df, dr, hits, n_pass.reshape(1)])
 
-    return fused
+    def fused_unbundled(packed, n_mask, lens):
+        out = np.asarray(fused(packed, n_mask, lens))
+        B = lens.shape[0]
+        return out[:B], out[B:2 * B], out[2 * B:3 * B], int(out[-1])
+
+    return fused_unbundled
