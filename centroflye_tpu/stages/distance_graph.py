@@ -37,9 +37,10 @@ from centroflye_tpu.ops.kmers import (
 _SENT = 0xFFFFFFFF
 
 
-@functools.partial(jax.jit, static_argnames=("d0", "n_d", "capacity"))
+@functools.partial(jax.jit, static_argnames=("n_d", "capacity", "max_d"))
 def _pairs_at_distances(clouds: jnp.ndarray, n_units: jnp.ndarray,
-                        *, d0: int, n_d: int, capacity: int):
+                        d0: jnp.ndarray,
+                        *, n_d: int, capacity: int, max_d: int):
     """Count (i, j, d) keys for distances d0..d0+n_d-1 over a padded cloud
     tensor in ONE kernel + ONE sort (fewer table merges: the merge cadence,
     not pair generation, dominates wall-clock).
@@ -48,19 +49,22 @@ def _pairs_at_distances(clouds: jnp.ndarray, n_units: jnp.ndarray,
     fixed-capacity key->count table (uhi, ulo, counts, n).
     """
     R, T, K = clouds.shape
-    max_d = d0 + n_d - 1
-    pad = jnp.full((R, max_d, K), -1, jnp.int32)
-    padded = jnp.concatenate([clouds, pad], axis=1)   # (R, T+max_d, K)
+    # d0 is a traced scalar so ONE compiled shape serves all distance
+    # chunks (remote compiles are expensive); distances beyond max_d are
+    # masked out
+    pad = jnp.full((R, n_d, K), -1, jnp.int32)
+    padded = jnp.concatenate([clouds, pad], axis=1)   # (R, T+n_d, K)
     pos = jnp.arange(T, dtype=jnp.int32)[None, None, :, None, None]
     nu = n_units[:, None, None, None, None]
     a = clouds[:, None, :, :, None]                   # (R, 1, T, K, 1)
     b = jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(padded, d, T, axis=1)
-         for d in range(d0, d0 + n_d)], axis=1)       # (R, D, T, K)
+        [jax.lax.dynamic_slice_in_dim(padded, d0 + i, T, axis=1)
+         for i in range(n_d)], axis=1)                # (R, D, T, K)
     b = b[:, :, :, None, :]                           # (R, D, T, 1, K)
-    ds = jnp.arange(d0, d0 + n_d,
-                    dtype=jnp.int32)[None, :, None, None, None]
-    valid = (a >= 0) & (b >= 0) & (a != b) & (pos + ds < nu)
+    ds = (d0 + jnp.arange(n_d, dtype=jnp.int32)
+          )[None, :, None, None, None]
+    valid = (a >= 0) & (b >= 0) & (a != b) & (pos + ds < nu) & \
+        (ds <= max_d)
     hi = jnp.where(valid, a.astype(jnp.uint32) + jnp.uint32(0),
                    jnp.uint32(_SENT))
     lo = jnp.where(
@@ -96,10 +100,11 @@ def build_distance_table(
         batch_rows = max(1, min(R, element_budget // per_row))
     acc = None
 
-    def emit(batch, nu, d0, n_d, cap):
+    def emit(batch, nu, d0, cap):
         while True:
             uhi, ulo, cnt, n = _pairs_at_distances(
-                batch, nu, d0=d0, n_d=n_d, capacity=cap)
+                batch, nu, jnp.int32(d0), n_d=d_chunk, capacity=cap,
+                max_d=config.max_distance)
             if int(n) <= cap:
                 return uhi, ulo, cnt, int(n), cap
             cap *= 2
@@ -111,8 +116,7 @@ def build_distance_table(
             continue
         for d0 in range(config.min_distance, config.max_distance + 1,
                         d_chunk):
-            n_d = min(d_chunk, config.max_distance + 1 - d0)
-            uhi, ulo, cnt, n, capacity = emit(batch, nu, d0, n_d, capacity)
+            uhi, ulo, cnt, n, capacity = emit(batch, nu, d0, capacity)
             if n == 0:
                 continue
             if acc is None:

@@ -125,3 +125,24 @@ def test_mono_pipeline_scaffold_nucleotides(world, assembly):
     assert len(best) >= 10 * MONO_LEN
     al = align_path(best, world["genome_nucl"], mode="HW")
     assert al.dist / len(best) < 0.05, (al.dist, len(best))
+
+
+def test_real_d6z1_monomer_calling(rng):
+    """Realism check: the 18 real D6Z1 monomers (~171bp, highly similar
+    alpha-satellite) must be called correctly on a noisy HOR read."""
+    import os
+    from centroflye_tpu.io import read_seqs
+    data = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "centroflye_tpu", "data")
+    monomers = read_seqs(os.path.join(data, "D6Z1_monomers.fasta"))
+    names = list(monomers)
+    hor = list(range(18))
+    clean = "".join(monomers[names[i]] for i in hor * 2)
+    read = add_read_noise(rng, clean, 0.05)
+    dec = MonomerDecomposer(monomers, MonomerDecomposerConfig(batch_reads=2))
+    rows = dec.decompose([("r0", read)])["r0"]
+    called = [r[0] for r in rows]
+    truth = hor * 2
+    n = min(len(called), len(truth))
+    agree = sum(1 for a, b in zip(called[:n], truth[:n]) if a == b)
+    assert agree >= 0.9 * n, (agree, n)
