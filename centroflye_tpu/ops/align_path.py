@@ -62,8 +62,15 @@ def _dp_matrix(q: np.ndarray, t: np.ndarray, mode: str) -> np.ndarray:
     return D
 
 
-def align_path(query: str, target: str, mode: str = "NW") -> PathAlignment:
-    """Global (NW) or infix (HW) alignment with full traceback."""
+def align_path(query: str, target: str, mode: str = "NW",
+               prefer_native: bool = True) -> PathAlignment:
+    """Global (NW) or infix (HW) alignment with full traceback. Uses the
+    native C++ engine when built (order-of-magnitude faster on unit-length
+    sequences — the polisher hot path); falls back to the numpy DP."""
+    if prefer_native and query and target:
+        native = _native_align_path(query, target, mode)
+        if native is not None:
+            return native
     q = encode(query)
     t = encode(target)
     m, n = len(q), len(t)
@@ -137,6 +144,24 @@ def align_path(query: str, target: str, mode: str = "NW") -> PathAlignment:
         k = k2
     return PathAlignment(dist=dist, a1=a1, a2=a2, t_start=t_start,
                          t_end=j_end, cigar="".join(cig))
+
+
+def _native_align_path(query: str, target: str,
+                       mode: str) -> Optional[PathAlignment]:
+    """PathAlignment via the native engine's cigar; None if unavailable."""
+    try:
+        from centroflye_tpu.native import native_align_path
+    except ImportError:
+        return None
+    res = native_align_path(encode(query), encode(target), mode=mode)
+    if res is None:
+        return None
+    dist, cigar, t_start, t_end = res
+    from centroflye_tpu.utils.bio import parse_cigar
+    target_slice = target[t_start:t_end]
+    _, _, a1, a2 = parse_cigar(cigar, query, target_slice)
+    return PathAlignment(dist=dist, a1=a1, a2=a2, t_start=t_start,
+                         t_end=t_end, cigar=cigar)
 
 
 def hw_locate(query: str, target: str) -> Tuple[int, int, int]:
