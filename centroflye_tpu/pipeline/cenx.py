@@ -189,6 +189,38 @@ class CenXPipeline:
         write_seqs(final_fn, {"centroFlye_assembly": final})
         return final
 
+    def run_placement_validation(self, placements, clouds) -> None:
+        """Post-placement validation (the reference's map_reads_fast debug
+        idea, cloud_contig.py:117-156, as a persisted artifact): rebuild the
+        contig from the placements and re-map every read; writes
+        tr_resolution/placement_validation.csv with re-mapped positions."""
+        from centroflye_tpu.stages.cloud_contig import (
+            CloudContig, map_reads_fast)
+
+        out_fn = self._artifact("tr_resolution", "placement_validation.csv")
+        if os.path.exists(out_fn):
+            return
+        contig = CloudContig(self.config.placer.min_cloud_kmer_freq)
+        for r_id, pos in placements.items():
+            if pos is not None and r_id in clouds:
+                contig.add_read(clouds[r_id], pos)
+        positions, _ = map_reads_fast(
+            contig, clouds,
+            threshold=(self.config.placer.min_unit,
+                       self.config.placer.min_inters))
+        n_same = 0
+        with open(out_fn, "w") as f:
+            print("r_id placed remapped agree", file=f)
+            for r_id, pos in placements.items():
+                remapped = positions.get(r_id)
+                agree = (pos == remapped)
+                n_same += bool(agree and pos is not None)
+                print(r_id, pos, remapped, agree, file=f)
+        from centroflye_tpu.utils.logging_utils import logger
+        placed = sum(1 for p in placements.values() if p is not None)
+        logger.info("placement validation: %d/%d re-map to their placement",
+                    n_same, placed)
+
     # ----------------------------------------------------------------- #
     def run(self, reads_fn: str) -> str:
         """Full chain; returns the final assembly sequence."""
@@ -196,6 +228,7 @@ class CenXPipeline:
         dec = self.run_decomposition(centromeric_fn)
         uniq = self.run_unique_kmers(dec)
         placements, clouds = self.run_placement(dec, uniq)
+        self.run_placement_validation(placements, clouds)
         self.run_unit_consensus(dec)
         return self.run_polisher(dec, placements)
 
