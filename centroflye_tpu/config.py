@@ -191,7 +191,6 @@ class CentroFlyeConfig:
             for key, value in d.items():
                 if key not in fields:
                     raise KeyError(f"unknown config key: {key}")
-                ftype = fields[key].type
                 sub = _SUBCONFIGS.get(key)
                 if sub is not None and isinstance(value, dict):
                     kwargs[key] = build(sub, value)
