@@ -55,15 +55,13 @@ def main():
                         "centroflye_tpu", "data")
     unit = read_seq(os.path.join(data, "DXZ1_rc.fasta"))
     reads = make_reads(unit)
-    total_bases = sum(len(s) for _, s in reads)
 
     engine = RecruitmentEngine(
         unit, RecruitmentConfig(threshold=350, batch_size=1024),
         seg_len=16384)
 
     # warmup on a slice (compile both tiers)
-    warm = list(engine.run(reads[:272]))
-    n_warm_recruited = sum(r.recruited for r in warm)
+    list(engine.run(reads[:272]))
 
     # best of 3: the dev-harness device link (HTTP tunnel) has large
     # latency variance; the best run is closest to engine capability
