@@ -170,3 +170,71 @@ def test_reference_read_placement_matches(world, ours, tmp_path):
         assert ref_pos[r_id] == ours_pos[r_id], r_id
     assert sum(1 for p in ref_pos.values() if p is not None) \
         == len(ref_pos)
+
+
+def test_reference_consensus_unit_matches(world, tmp_path):
+    """Stage-5 parity: the reference's own consensus-unit reconstruction
+    (networkx de Bruijn + purify + edlib rotation, run with our aligner as
+    the edlib stub) must produce the same unit* as ours."""
+    from centroflye_tpu.config import ConsensusUnitConfig
+    from centroflye_tpu.stages.consensus_unit import reconstruct_unit
+    from centroflye_tpu.io import write_seqs, read_seq
+
+    unit_fn = str(tmp_path / "unit.fasta")
+    write_seqs(unit_fn, {"unit": world["unit"]})
+    out_fn = str(tmp_path / "unit_star.fasta")
+    cmd = [sys.executable,
+           os.path.join(REF, "better_consensus_unit_reconstruction.py"),
+           "--reads-ncrf", world["report_fn"],
+           "--unit", unit_fn,
+           "-k", "30",
+           "--output", out_fn]
+    res = subprocess.run(cmd, env=ref_env(), capture_output=True, text=True,
+                         timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    ref_unit_star = read_seq(out_fn)
+
+    dec = world["dec"]
+    seqs = [dec.records[r].seq for r in sorted(dec.records)]
+    ours_unit_star = reconstruct_unit(seqs, world["unit"],
+                                      ConsensusUnitConfig(k=30))
+    assert ours_unit_star == ref_unit_star
+
+
+def test_reference_eltr_polisher_matches(world, ours, tmp_path):
+    """Stage-6 parity: the reference's own eltr_polisher.py (driven by a
+    flye stub that calls our deterministic consensus polisher) must produce
+    the same final assembly as our EltrPolisher on the same placements."""
+    import math
+    from centroflye_tpu.config import PolisherConfig
+    from centroflye_tpu.stages.polisher import EltrPolisher
+    from centroflye_tpu.io import write_seqs, read_seq
+
+    # write placements in the reference's read_positions.csv format
+    pos_fn = str(tmp_path / "read_positions.csv")
+    with open(pos_fn, "w") as f:
+        for r_id, pos in ours["placements"].items():
+            print(r_id, pos, file=f)
+    unit_fn = str(tmp_path / "unit.fasta")
+    write_seqs(unit_fn, {"unit": world["unit"]})
+    refout = str(tmp_path / "ref_polish")
+    env = ref_env()
+    env["PATH"] = os.path.join(STUBS, "bin") + ":" + env.get("PATH", "")
+    cmd = [sys.executable, os.path.join(REF, "eltr_polisher.py"),
+           "--read-placement", pos_fn,
+           "--unit", unit_fn,
+           "--outdir", refout,
+           "--ncrf", world["report_fn"],
+           "--flye-bin", os.path.join(STUBS, "bin", "flye"),
+           "--num-iters", "2"]
+    res = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=900)
+    assert res.returncode == 0, (res.stderr[-2000:], res.stdout[-500:])
+    ref_final = read_seq(os.path.join(refout, "final_sequence_2.fasta"))
+
+    dec = world["dec"]
+    unit_instances = {r_id: rec.motif_alignments()
+                      for r_id, rec in dec.records.items()}
+    polisher = EltrPolisher(PolisherConfig(num_iters=2))
+    out = polisher.run(ours["placements"], unit_instances)
+    assert out.final_sequences[2] == ref_final
