@@ -1,0 +1,32 @@
+"""Two-strand fused Pallas kernel: exact on CPU interpret; EXPERIMENTAL on
+real TPU (Mosaic compile of the fused body is slow/problematic through the
+remote compiler — production routes through two single-strand v2 calls)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from centroflye_tpu.io import encode, encode_batch
+from centroflye_tpu.io.encoding import revcomp, revcomp_str
+from centroflye_tpu.ops.myers import build_peq, edit_distance_oracle
+from centroflye_tpu.ops.myers_pallas_v2 import myers_hw_pallas_2strand
+
+
+def test_2strand_matches_oracle():
+    rng = np.random.default_rng(4)
+    q = "".join("ACGT"[i] for i in rng.integers(0, 4, 90))
+    texts = ["".join("ACGT"[i] for i in rng.integers(0, 4, int(n)))
+             for n in rng.integers(30, 250, size=128)]
+    codes, lens = encode_batch(texts, max_len=256)
+    pf = jnp.asarray(build_peq(encode(q)))
+    pr = jnp.asarray(build_peq(revcomp(encode(q))))
+    out = myers_hw_pallas_2strand(
+        pf, pr, jnp.asarray(codes).T,
+        jnp.asarray(lens).reshape(-1, 1), m=90)
+    qr = revcomp_str(q)
+    for i, t in enumerate(texts):
+        odf, oef = edit_distance_oracle(q, t, "HW")
+        odr, oer = edit_distance_oracle(qr, t, "HW")
+        assert int(out["dist_f"][i]) == odf, i
+        assert int(out["end_f"][i]) == oef, i
+        assert int(out["dist_r"][i]) == odr, i
+        assert int(out["end_r"][i]) == oer, i
