@@ -144,10 +144,16 @@ def kmer_strings(codes_u64: np.ndarray, k: int):
 
 
 def string_to_kmer_code(kmer: str) -> int:
-    """Single k-mer string -> integer code (host)."""
+    """Single k-mer string -> integer code (host). Rejects non-ACGT
+    characters: _ENC maps them to 4, which would overflow the 2-bit slot
+    and silently corrupt the code (e.g. on re-loading a hand-edited
+    unique_kmers artifact in the resume path)."""
     code = 0
     for ch in kmer:
-        code = (code << 2) | int(_ENC[ord(ch)])
+        v = int(_ENC[ord(ch)])
+        if v >= 4:
+            raise ValueError(f"non-ACGT character {ch!r} in k-mer {kmer!r}")
+        code = (code << 2) | v
     return code
 
 

@@ -51,9 +51,12 @@ def _pairs_at_distances(clouds: jnp.ndarray, n_units: jnp.ndarray,
     R, T, K = clouds.shape
     # d0 is a traced scalar so ONE compiled shape serves all distance
     # chunks (remote compiles are expensive); distances beyond max_d are
-    # masked out
-    pad = jnp.full((R, n_d, K), -1, jnp.int32)
-    padded = jnp.concatenate([clouds, pad], axis=1)   # (R, T+n_d, K)
+    # masked out. Padding must cover the largest slice start d0+i <= max_d:
+    # dynamic_slice clamps out-of-range starts, so an undersized pad would
+    # silently alias every distance chunk onto the pad-width offset (all
+    # distances > pad width would read the wrong columns).
+    pad = jnp.full((R, max(max_d, n_d), K), -1, jnp.int32)
+    padded = jnp.concatenate([clouds, pad], axis=1)   # (R, T+max_d, K)
     pos = jnp.arange(T, dtype=jnp.int32)[None, None, :, None, None]
     nu = n_units[:, None, None, None, None]
     a = clouds[:, None, :, :, None]                   # (R, 1, T, K, 1)
@@ -95,6 +98,15 @@ def build_distance_table(
     keys per kernel call (R * n_d * T * K^2 elements).
     """
     R, T, K = clouds_tensor.shape
+    # key packing is (i) x ((j << 8) | d) and the filter regroups by
+    # (i << 24) | j — both alias silently if these bounds are exceeded
+    if config.max_distance >= 256:
+        raise ValueError(
+            f"max_distance {config.max_distance} >= 256 overflows the "
+            "8-bit distance field of the packed key")
+    if clouds_tensor.size and int(clouds_tensor.max()) >= 1 << 24:
+        raise ValueError(
+            "rare k-mer index >= 2^24 overflows the packed pair key")
     if batch_rows is None:
         per_row = max(1, d_chunk * T * K * K)
         batch_rows = max(1, min(R, element_budget // per_row))
@@ -193,6 +205,9 @@ def recruit_unique_kmers(
 ) -> Tuple[np.ndarray, DistanceEdges]:
     """End-to-end: distance table -> filter -> unique k-mer codes (sorted
     uint64) + surviving edges."""
+    if len(rare_codes) >= 1 << 24:
+        raise ValueError(
+            "rare k-mer table >= 2^24 entries overflows the packed pair key")
     uhi, ulo, cnt, n = build_distance_table(
         clouds_tensor, n_units, config,
         capacity=capacity, batch_rows=batch_rows)

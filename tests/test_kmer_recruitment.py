@@ -183,6 +183,39 @@ def test_clouds_and_distance_graph_vs_oracle(rng):
     assert got_kmers == want_kmers
 
 
+def test_distance_table_beyond_d_chunk(rng):
+    """Regression: distances greater than the kernel's d_chunk (8) must be
+    counted at their true offset. A previous version padded the cloud
+    tensor with only d_chunk columns, so dynamic_slice clamped every
+    distance > 8 back to offset 8 — wrong counts for all d in (8, max_d]."""
+    R, T, Kc = 5, 24, 4
+    n_kmers = 40
+    tensor = np.full((R, T, Kc), -1, np.int32)
+    n_units = np.zeros(R, np.int32)
+    cloud_lists = []
+    for r in range(R):
+        nu = int(rng.integers(T - 4, T + 1))
+        n_units[r] = nu
+        per_read = []
+        for t in range(nu):
+            sz = int(rng.integers(0, Kc + 1))
+            ids = rng.choice(n_kmers, size=sz, replace=False)
+            tensor[r, t, :sz] = ids
+            per_read.append(set(int(x) for x in ids))
+        cloud_lists.append(per_read)
+    cfg = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=12,
+                                min_coverage=1)
+    uhi, ulo, cnt, n = build_distance_table(
+        tensor, n_units, cfg, capacity=1 << 16, batch_rows=2)
+    got = {}
+    for t in range(n):
+        got[(int(uhi[t]), int(ulo[t]) >> 8, int(ulo[t]) & 0xFF)] = \
+            int(cnt[t])
+    want = oracle_dist_map(cloud_lists, 1, 12)
+    assert got == dict(want)
+    assert any(d > 8 for (_, _, d) in want), "test must exercise d > d_chunk"
+
+
 def test_filter_clouds_multiplicity(rng):
     unit = gen_random_seq(rng, 200)
     dec = make_decomposition(rng, unit, n_reads=5, copies=8)
