@@ -29,8 +29,15 @@ from centroflye_tpu.stages.kmer_cloud import ReadClouds
 
 
 class ReadPlacer:
-    def __init__(self, config: PlacerConfig | None = None):
+    """Greedy placer. `use_fast=True` (default) runs the array/device
+    engine (stages/placement_fast.FastPlacer); `use_fast=False` runs the
+    dict-of-Counters oracle below — the near-verbatim mirror of the
+    reference loop, kept for cross-checking only."""
+
+    def __init__(self, config: PlacerConfig | None = None,
+                 use_fast: bool = True):
         self.config = config or PlacerConfig()
+        self.use_fast = use_fast
         self.contig = CloudContig(self.config.min_cloud_kmer_freq)
         self.placements: Dict[str, Optional[int]] = {}
         self.scores: Dict[str, Tuple[int, int]] = {}
@@ -48,6 +55,21 @@ class ReadPlacer:
         """Greedy placement loop (reference read_placer.py:42-94), exact
         including tie-breaking: strictly-better score must pass the validity
         thresholds; equal score prefers larger position, then smaller r_id."""
+        if not reads:
+            return
+        if self.use_fast:
+            from centroflye_tpu.stages.placement_fast import FastPlacer
+            placer = FastPlacer(self.contig, reads, reads_clouds,
+                                self.config)
+            placements, scores = placer.run()
+            self.placements.update(placements)
+            self.scores.update(scores)
+            return
+        self._add_reads_oracle(reads, reads_clouds)
+
+    def _add_reads_oracle(self, reads: Sequence[str],
+                          reads_clouds: Dict[str, ReadClouds]):
+        """Dict-of-Counters mirror of the reference loop — oracle only."""
         cfg = self.config
         kmers2pos = build_kmers2pos(reads_clouds, reads)
         unused = set(reads)

@@ -130,3 +130,76 @@ def test_fast_scorer_matches_slow_oracle(pipeline_state):
     same = sum(1 for r_id, pos in placed.items()
                if positions.get(r_id) == pos)
     assert same >= 0.8 * len(placed)
+
+
+def test_fast_placer_matches_dict_oracle(pipeline_state):
+    """The production array/device placer must reproduce the dict oracle
+    (the near-verbatim reference loop) placement-for-placement,
+    score-for-score."""
+    st = pipeline_state
+    cfg = PlacerConfig(
+        min_cloud_kmer_freq=2, min_kmer_mult=2, min_unit=2, min_inters=5,
+        min_prop=3, prefix_threshold=2500, small_threshold=1000)
+    fast = ReadPlacer(cfg, use_fast=True)
+    slow = ReadPlacer(cfg, use_fast=False)
+    pf = dict(fast.run(st["dec"], st["clouds"]))
+    ps = dict(slow.run(st["dec"], st["clouds"]))
+    assert pf == ps
+    assert fast.scores == slow.scores
+
+
+def test_fast_placer_random_parity():
+    """Adversarial randomized parity: synthetic clouds with heavy score
+    ties exercise every tie-break branch (score, rightmost pos, smallest
+    r_id) of the greedy loop."""
+    from centroflye_tpu.stages.cloud_contig import CloudContig
+    from centroflye_tpu.stages.kmer_cloud import ReadClouds
+    from centroflye_tpu.stages.placement_fast import FastPlacer
+    from centroflye_tpu.stages.read_placer import ReadPlacer as RP
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n_kmers = 30
+        T_contig = 12
+        cfg = PlacerConfig(min_cloud_kmer_freq=2, min_unit=1, min_inters=2,
+                           min_prop=1)
+
+        def mk_read(r_id, n_units, lo=2, hi=5):
+            clouds = []
+            for _ in range(n_units):
+                sz = int(rng.integers(lo, hi))
+                clouds.append(np.sort(rng.choice(
+                    n_kmers, size=sz, replace=False)).astype(np.int64))
+            return ReadClouds(r_id=r_id, clouds=clouds)
+
+        # seed contig with 3 overlapping prefix reads (freq needs 2x)
+        seeds = [mk_read(f"p{i}", T_contig) for i in range(3)]
+        reads_clouds = {}
+        names = []
+        for i in range(10):
+            r = mk_read(f"r{i:02d}", int(rng.integers(3, 7)))
+            reads_clouds[r.r_id] = r
+            names.append(r.r_id)
+        # duplicate clouds to force exact ties between different reads
+        dup = ReadClouds(r_id="r99", clouds=[c.copy() for c in
+                                             reads_clouds["r00"].clouds])
+        reads_clouds["r99"] = dup
+        names.append("r99")
+
+        def build_contig():
+            c = CloudContig(cfg.min_cloud_kmer_freq)
+            for s in seeds:
+                c.add_read(s, position=0)
+            return c
+
+        contig_f = build_contig()
+        fp = FastPlacer(contig_f, names, reads_clouds, cfg)
+        got_p, got_s = fp.run()
+
+        slow = RP(cfg, use_fast=False)
+        slow.contig = build_contig()
+        slow._add_reads_oracle(names, reads_clouds)
+        want_p = {r: slow.placements.get(r) for r in names}
+        want_s = slow.scores
+        assert got_p == want_p, (seed, got_p, want_p)
+        assert got_s == want_s, (seed, got_s, want_s)
