@@ -35,6 +35,24 @@ def make_mesh(n_devices: int = 0, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def auto_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """Mesh over all local devices when more than one is present — the
+    production pipeline's switch between single-chip and sharded steps."""
+    if jax.device_count() < min_devices:
+        return None
+    return make_mesh()
+
+
+def pad_rows(arr: np.ndarray, multiple: int, fill) -> np.ndarray:
+    """Pad axis 0 to a multiple (shard_map needs equal per-device rows)."""
+    r = arr.shape[0]
+    target = -(-max(r, 1) // multiple) * multiple
+    if target == r:
+        return arr
+    pad = np.full((target - r,) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
 def shard_batch(mesh: Mesh, codes: np.ndarray, lens: np.ndarray):
     """Place a (B, L) batch row-sharded over the mesh data axis."""
     sh = NamedSharding(mesh, P(DATA_AXIS, None))
@@ -117,6 +135,71 @@ def make_kmer_count_step(mesh: Mesh, k: int, capacity: int):
         acc = (g_uhi[0], g_ulo[0], g_cnt[0], n)
         for i in range(1, n_dev):
             acc = merge_pair(acc, (g_uhi[i], g_ulo[i], g_cnt[i], n))
+        return acc
+
+    return jax.jit(step)
+
+
+def make_stats_count_step(mesh: Mesh, k: int, capacity: int):
+    """Sharded per-read k-mer statistics (the rare-k-mer stage's device
+    step, stages/rare_kmers.py): rows (reads) split over the data axis,
+    per-shard (code -> n_reads, n_multi) tables built locally, merged with
+    all_gather + associative fold over ICI. Reads are disjoint across
+    shards, so the two counters add exactly."""
+    from jax import shard_map
+    from centroflye_tpu.ops.kmers import (
+        count_read_kmer_stats, merge_count_tables)
+
+    n_dev = mesh.devices.size
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None)),
+        out_specs=(P(), P(), P(), P()), check_vma=False)
+    def step(codes, lens, rid):
+        hi, lo, _ = pack_kmers(codes, lens, k=k)
+        uhi, ulo, n_reads, n_multi, n = count_read_kmer_stats(
+            hi, lo, jnp.broadcast_to(rid, hi.shape), capacity=capacity)
+        cnt = jnp.stack([n_reads, n_multi], axis=1)
+        g_uhi = jax.lax.all_gather(uhi, DATA_AXIS)
+        g_ulo = jax.lax.all_gather(ulo, DATA_AXIS)
+        g_cnt = jax.lax.all_gather(cnt, DATA_AXIS)
+        acc = (g_uhi[0], g_ulo[0], g_cnt[0], n)
+        for i in range(1, n_dev):
+            acc = merge_count_tables(acc[0], acc[1], acc[2], g_uhi[i],
+                                     g_ulo[i], g_cnt[i], capacity=capacity)
+        return acc
+
+    return jax.jit(step)
+
+
+def make_pair_table_step(mesh: Mesh, *, n_d: int, capacity: int,
+                         max_d: int):
+    """Sharded distance-pair counting (the unique-k-mer stage's device
+    step, stages/distance_graph.py): cloud-tensor rows (reads) split over
+    the data axis, per-shard (i, j, d) -> count tables merged with
+    all_gather + fold over ICI — the TPU redesign of the reference's 9h
+    serial dict loop (reference distance_based_kmer_recruitment.py:85-128)."""
+    from jax import shard_map
+    from centroflye_tpu.ops.kmers import merge_count_tables
+    from centroflye_tpu.stages.distance_graph import _pairs_at_distances
+
+    n_dev = mesh.devices.size
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(), P()), check_vma=False)
+    def step(clouds, n_units, d0):
+        uhi, ulo, cnt, n = _pairs_at_distances(
+            clouds, n_units, d0, n_d=n_d, capacity=capacity, max_d=max_d)
+        g_uhi = jax.lax.all_gather(uhi, DATA_AXIS)
+        g_ulo = jax.lax.all_gather(ulo, DATA_AXIS)
+        g_cnt = jax.lax.all_gather(cnt, DATA_AXIS)
+        acc = (g_uhi[0], g_ulo[0], g_cnt[0], n)
+        for i in range(1, n_dev):
+            acc = merge_count_tables(acc[0], acc[1], acc[2], g_uhi[i],
+                                     g_ulo[i], g_cnt[i], capacity=capacity)
         return acc
 
     return jax.jit(step)

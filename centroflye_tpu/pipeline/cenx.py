@@ -35,10 +35,13 @@ from centroflye_tpu.stages.unit_decomposition import (
 
 class CenXPipeline:
     def __init__(self, unit: str, config: CentroFlyeConfig, outdir: str,
-                 ncrf_report: Optional[str] = None):
+                 ncrf_report: Optional[str] = None, mesh="auto"):
         """ncrf_report: optional pinned NCRF report file — when given, the
         decomposition stage parses it (stages/ncrf_compat) instead of
-        running the in-repo decomposer (bit-for-bit parity configs)."""
+        running the in-repo decomposer (bit-for-bit parity configs).
+        mesh: "auto" shards device stages over all local devices when more
+        than one is present; pass an explicit Mesh (e.g. make_mesh(1)) to
+        pin the device count."""
         from centroflye_tpu.utils.logging_utils import MetricsRegistry
         self.unit = unit
         self.config = config
@@ -46,6 +49,15 @@ class CenXPipeline:
         self.ncrf_report = ncrf_report
         os.makedirs(outdir, exist_ok=True)
         self.metrics = MetricsRegistry(outdir)
+        # multi-chip: shard the device stages over all local devices (the
+        # sharded steps are bit-identical to the single-device path, so
+        # resume artifacts stay valid across device counts)
+        if mesh == "auto":
+            from centroflye_tpu.parallel.mesh import auto_mesh
+            mesh = auto_mesh()
+        if mesh is not None and mesh.devices.size <= 1:
+            mesh = None
+        self.mesh = mesh
 
     # ----------------------------------------------------------------- #
     def _artifact(self, *parts) -> str:
@@ -61,7 +73,8 @@ class CenXPipeline:
             m.items = recruit_file(
                 self._write_unit(), reads_fn, out_fn,
                 threshold=self.config.recruitment.threshold,
-                batch_size=self.config.recruitment.batch_size)
+                batch_size=self.config.recruitment.batch_size,
+                mesh=self.mesh)
         return out_fn
 
     def _write_unit(self) -> str:
@@ -112,11 +125,12 @@ class CenXPipeline:
         records = {r: dec.records[r] for r in sorted(dec.records)}
         seqs = [rec.seq for rec in records.values()]
         with self.metrics.stage("unique_kmers", "kmers") as m:
-            rare = get_rare_kmers(seqs, kcfg, self.config.coverage)
+            rare = get_rare_kmers(seqs, kcfg, self.config.coverage,
+                                  mesh=self.mesh)
             clouds = build_read_clouds(records, rare, kcfg.k)
             _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
             uniq_codes, edges = recruit_unique_kmers(
-                tensor, n_units, rare, kcfg)
+                tensor, n_units, rare, kcfg, mesh=self.mesh)
             m.items = len(uniq_codes)
 
         # artifact parity: sorted kmer strings, one per line (reference

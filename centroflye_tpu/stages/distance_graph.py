@@ -78,24 +78,50 @@ def _pairs_at_distances(clouds: jnp.ndarray, n_units: jnp.ndarray,
     return count_unique(hi.ravel(), lo.ravel(), capacity=capacity)
 
 
+def estimate_pair_capacity(clouds_tensor: np.ndarray,
+                           n_units: np.ndarray,
+                           config: KmerRecruitmentConfig,
+                           *, cap: int = 1 << 24) -> int:
+    """Static table capacity from cloud-size statistics: the distinct
+    (i, j, d) key count is bounded by the total pair-observation count
+    sum_r sum_d sum_t |cloud_t||cloud_{t+d}|, computable from the cloud
+    sizes alone. Pre-sizing from this bound gives one compile per shape —
+    no recompile-on-doubling at production scale."""
+    sizes = (clouds_tensor >= 0).sum(axis=2).astype(np.int64)   # (R, T)
+    pos = np.arange(sizes.shape[1])[None, :]
+    sizes = np.where(pos < np.asarray(n_units)[:, None], sizes, 0)
+    total = 0
+    for d in range(config.min_distance, config.max_distance + 1):
+        if d >= sizes.shape[1]:
+            break
+        total += int((sizes[:, :-d] * sizes[:, d:]).sum())
+    return 1 << max(16, int(np.ceil(np.log2(max(min(total, cap), 2)))))
+
+
 def build_distance_table(
     clouds_tensor: np.ndarray,        # (R, T, K) int32, -1 padded
     n_units: np.ndarray,              # (R,) int32
     config: KmerRecruitmentConfig,
     *,
-    capacity: int = 1 << 20,
+    capacity: Optional[int] = None,
     batch_rows: Optional[int] = None,
     d_chunk: int = 8,
     element_budget: int = 64 << 20,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Full (i, j, d) -> count table over all reads and distances.
 
     Returns (uhi, ulo, counts, n) sorted by (i, j, d); decode with
     i = uhi, j = ulo >> 8, d = ulo & 0xFF.
 
-    capacity grows automatically (powers of two) if the distinct-key count
-    exceeds it; batch_rows defaults to fitting ``element_budget`` raw pair
-    keys per kernel call (R * n_d * T * K^2 elements).
+    capacity defaults to the pair-observation bound
+    (estimate_pair_capacity: a true upper bound on distinct keys, so no
+    recompiles) and still grows automatically (powers of two) if given
+    too small explicitly. batch_rows defaults to fitting
+    ``element_budget`` raw pair keys per kernel call (R * n_d * T * K^2
+    elements). With a `mesh`, batch rows shard over the data axis and
+    per-shard tables merge over ICI (parallel/mesh.make_pair_table_step)
+    — bit-identical to the single-device path.
     """
     R, T, K = clouds_tensor.shape
     # key packing is (i) x ((j << 8) | d) and the filter regroups by
@@ -107,19 +133,42 @@ def build_distance_table(
     if clouds_tensor.size and int(clouds_tensor.max()) >= 1 << 24:
         raise ValueError(
             "rare k-mer index >= 2^24 overflows the packed pair key")
+    if capacity is None:
+        capacity = estimate_pair_capacity(clouds_tensor, n_units, config)
     if batch_rows is None:
         per_row = max(1, d_chunk * T * K * K)
         batch_rows = max(1, min(R, element_budget // per_row))
+
+    n_dev = 1
+    sharded_step = None
+    if mesh is not None and mesh.devices.size > 1:
+        from centroflye_tpu.parallel.mesh import make_pair_table_step
+        n_dev = int(mesh.devices.size)
+        batch_rows = -(-batch_rows // n_dev) * n_dev
     acc = None
 
     def emit(batch, nu, d0, cap):
+        nonlocal sharded_step
         while True:
-            uhi, ulo, cnt, n = _pairs_at_distances(
-                batch, nu, jnp.int32(d0), n_d=d_chunk, capacity=cap,
-                max_d=config.max_distance)
+            if n_dev > 1:
+                from centroflye_tpu.parallel.mesh import (
+                    make_pair_table_step, pad_rows)
+                if sharded_step is None:
+                    sharded_step = make_pair_table_step(
+                        mesh, n_d=d_chunk, capacity=cap,
+                        max_d=config.max_distance)
+                batch_p = pad_rows(batch, n_dev, -1)
+                nu_p = pad_rows(nu, n_dev, 0)
+                uhi, ulo, cnt, n = sharded_step(batch_p, nu_p,
+                                                jnp.int32(d0))
+            else:
+                uhi, ulo, cnt, n = _pairs_at_distances(
+                    batch, nu, jnp.int32(d0), n_d=d_chunk, capacity=cap,
+                    max_d=config.max_distance)
             if int(n) <= cap:
                 return uhi, ulo, cnt, int(n), cap
             cap *= 2
+            sharded_step = None
 
     for r0 in range(0, max(R, 1), batch_rows):
         batch = clouds_tensor[r0:r0 + batch_rows]
@@ -200,8 +249,9 @@ def recruit_unique_kmers(
     rare_codes: np.ndarray,
     config: KmerRecruitmentConfig,
     *,
-    capacity: int = 1 << 20,
+    capacity: Optional[int] = None,
     batch_rows: Optional[int] = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, DistanceEdges]:
     """End-to-end: distance table -> filter -> unique k-mer codes (sorted
     uint64) + surviving edges."""
@@ -210,7 +260,7 @@ def recruit_unique_kmers(
             "rare k-mer table >= 2^24 entries overflows the packed pair key")
     uhi, ulo, cnt, n = build_distance_table(
         clouds_tensor, n_units, config,
-        capacity=capacity, batch_rows=batch_rows)
+        capacity=capacity, batch_rows=batch_rows, mesh=mesh)
     edges = filter_dist_tuples(uhi, ulo, cnt, n, config)
     unique_codes = rare_codes[edges.unique_kmer_indices]
     return np.sort(unique_codes), edges

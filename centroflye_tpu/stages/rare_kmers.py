@@ -43,10 +43,15 @@ def read_kmer_table(
     *,
     batch_rows: int = 64,
     capacity: int | None = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(codes uint64, n_reads, n_multi) over all sequences: for each distinct
     k-mer, the number of sequences containing it and the number containing it
-    more than once. Device-computed per batch, merged associatively."""
+    more than once. Device-computed per batch, merged associatively; with a
+    `mesh` (jax.sharding.Mesh), batch rows shard over the data axis and the
+    per-shard tables merge with all_gather + fold over ICI
+    (parallel/mesh.make_stats_count_step) — results are bit-identical to
+    the single-device path."""
     if not len(seqs):
         return (np.empty(0, np.uint64), np.empty(0, np.int64),
                 np.empty(0, np.int64))
@@ -54,14 +59,30 @@ def read_kmer_table(
     if capacity is None:
         capacity = 1 << max(8, int(np.ceil(np.log2(max(total_windows, 2)))))
 
+    step = None
+    n_dev = 1
+    if mesh is not None and mesh.devices.size > 1:
+        from centroflye_tpu.parallel.mesh import make_stats_count_step
+        step = make_stats_count_step(mesh, k, capacity)
+        n_dev = int(mesh.devices.size)
+        batch_rows = -(-batch_rows // n_dev) * n_dev
+
     acc = None  # (uhi, ulo, counts2, n)
     for row0, codes, lens in _iter_batches(seqs, batch_rows, 256):
-        hi, lo, _ = pack_kmers(codes, lens, k=k)
-        rid = np.broadcast_to(
-            np.arange(codes.shape[0], dtype=np.int32)[:, None] + row0,
-            hi.shape)
-        uhi, ulo, n_reads, n_multi, n = count_read_kmer_stats(
-            hi, lo, np.ascontiguousarray(rid), capacity=capacity)
+        rid_rows = (np.arange(codes.shape[0], dtype=np.int32)[:, None]
+                    + row0)
+        if step is not None:
+            from centroflye_tpu.parallel.mesh import pad_rows
+            codes = pad_rows(codes, n_dev, 4)
+            lens = pad_rows(lens, n_dev, 0)
+            rid_rows = pad_rows(rid_rows, n_dev, 0)
+            uhi, ulo, cnt2, n = step(codes, lens, rid_rows)
+            n_reads, n_multi = cnt2[:, 0], cnt2[:, 1]
+        else:
+            hi, lo, _ = pack_kmers(codes, lens, k=k)
+            rid = np.broadcast_to(rid_rows, hi.shape)
+            uhi, ulo, n_reads, n_multi, n = count_read_kmer_stats(
+                hi, lo, np.ascontiguousarray(rid), capacity=capacity)
         assert int(n) <= capacity, "k-mer table capacity overflow"
         counts2 = np.stack([np.asarray(n_reads), np.asarray(n_multi)],
                            axis=1).astype(np.int32)
@@ -87,12 +108,13 @@ def get_rare_kmers(
     coverage: int,
     *,
     batch_rows: int = 64,
+    mesh=None,
 ) -> np.ndarray:
     """Sorted uint64 codes of rare k-mers (reference
     distance_based_kmer_recruitment.py:66-82 semantics, including the float
     band [bottom*coverage*survival, top*coverage*survival])."""
     codes, n_reads, n_multi = read_kmer_table(
-        seqs, config.k, batch_rows=batch_rows)
+        seqs, config.k, batch_rows=batch_rows, mesh=mesh)
     survive = n_multi <= config.max_nonuniq
     left = config.bottom * coverage * config.kmer_survival_rate
     right = config.top * coverage * config.kmer_survival_rate

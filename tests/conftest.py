@@ -59,3 +59,16 @@ def make_mutant(rng):
     def _make(seq, n_sub=0, n_ins=0, n_del=0):
         return mutate(rng, seq, n_sub, n_ins, n_del)
     return _make
+
+
+# files whose tests are long-running (e2e assemblies, reference-subprocess
+# parity, 8-device pipeline identity): auto-mark as `slow` so
+# `pytest -m "not slow"` stays a sub-minute signal
+_SLOW_FILES = ("test_e2e_cenx", "test_mono_e2e", "test_reference_parity",
+               "test_parallel")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(s in str(item.fspath) for s in _SLOW_FILES):
+            item.add_marker(pytest.mark.slow)

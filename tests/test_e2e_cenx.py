@@ -82,8 +82,14 @@ def pipeline_cfg():
 
 @pytest.fixture(scope="module")
 def assembly(sim_world, pipeline_cfg):
+    # single-device pipeline here (the sharded path is covered by
+    # tests/test_parallel.py's 1-vs-8 bit-identity test; running it on 8
+    # virtual CPU devices doubles this fixture's wall-clock for no extra
+    # signal)
+    from centroflye_tpu.parallel.mesh import make_mesh
     pipe = CenXPipeline(sim_world["unit"], pipeline_cfg,
-                        os.path.join(sim_world["outdir"], "run"))
+                        os.path.join(sim_world["outdir"], "run"),
+                        mesh=make_mesh(1))
     final = pipe.run(sim_world["reads_fn"])
     return pipe, final
 

@@ -107,3 +107,78 @@ def test_placement_scores_match_set_oracle(rng):
                 w1 += len(inter)
             assert int(s0[r, o]) == w0
             assert int(s1[r, o]) == w1
+
+
+def test_pipeline_artifacts_identical_1_vs_8_devices(tmp_path):
+    """CenXPipeline's device stages (recruitment, rare k-mers, distance
+    table) must produce bit-identical artifacts on a single device and on
+    the 8-device mesh — the sharded steps are exact, not approximate."""
+    import os
+    from centroflye_tpu.config import (
+        CentroFlyeConfig, RecruitmentConfig, UnitDecompositionConfig,
+        KmerRecruitmentConfig, PlacerConfig, ConsensusUnitConfig,
+        PolisherConfig)
+    from centroflye_tpu.io import write_seqs
+    from centroflye_tpu.pipeline.cenx import CenXPipeline
+    from centroflye_tpu.pipeline.simulate import (
+        gen_random_seq, simulate_tandem_repeat, add_read_noise)
+
+    rng = np.random.default_rng(5)
+    UNIT = 120
+    unit = gen_random_seq(rng, UNIT)
+    sim = simulate_tandem_repeat(rng, unit, mult=24, div_rate=0.03,
+                                 flank_len=3000)
+    g = sim.flanked_tr
+    tr_start, tr_end = 3000, 3000 + len(sim.tr)
+    reads = {}
+    for pi, left in enumerate([2800, 2400]):
+        reads[f"pre{pi}"] = g[tr_start - left:tr_start + 10 * UNIT]
+    start = tr_start + 80
+    i = 0
+    while start + 1800 < tr_end:
+        reads[f"int{i:02d}"] = g[start:start + 1800]
+        start += 400
+        i += 1
+    for si, right in enumerate([2800, 2400]):
+        reads[f"suf{si}"] = g[tr_end - 10 * UNIT:tr_end + right]
+    for bi in range(3):
+        reads[f"bg{bi}"] = gen_random_seq(rng, 2500)
+    reads = {r: add_read_noise(rng, s, 0.02) for r, s in reads.items()}
+
+    cfg = CentroFlyeConfig(
+        coverage=4,
+        recruitment=RecruitmentConfig(threshold=int(UNIT * 0.25),
+                                      batch_size=16),
+        decomposition=UnitDecompositionConfig(min_record_len=600),
+        kmer_recruitment=KmerRecruitmentConfig(
+            k=13, min_distance=1, max_distance=6, min_coverage=2,
+            bottom=0.0, top=1e9),
+        placer=PlacerConfig(min_cloud_kmer_freq=2, min_kmer_mult=2,
+                            min_unit=2, min_inters=5,
+                            prefix_threshold=1500, small_threshold=900),
+        consensus_unit=ConsensusUnitConfig(k=21),
+        polisher=PolisherConfig(num_iters=1),
+    )
+    reads_fn = str(tmp_path / "reads.fasta")
+    write_seqs(reads_fn, reads)
+
+    outs = {}
+    for tag, mesh in (("one", make_mesh(1)), ("eight", make_mesh(8))):
+        outdir = str(tmp_path / tag)
+        pipe = CenXPipeline(unit, cfg, outdir, mesh=mesh)
+        if tag == "eight":
+            assert pipe.mesh is not None and pipe.mesh.devices.size == 8
+        else:
+            assert pipe.mesh is None
+        final = pipe.run(reads_fn)
+        outs[tag] = (outdir, final)
+
+    assert outs["one"][1] == outs["eight"][1]
+    for art in ("centromeric_reads.fasta",
+                "recruited_unique_kmers/unique_kmers_min_edge_cov_2.txt",
+                "recruited_unique_kmers/unique_edges_min_edge_cov_2.txt",
+                "tr_resolution/read_positions.csv",
+                "final_assembly.fasta"):
+        a = open(os.path.join(outs["one"][0], art)).read()
+        b = open(os.path.join(outs["eight"][0], art)).read()
+        assert a == b, f"artifact differs across device counts: {art}"
