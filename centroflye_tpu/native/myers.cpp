@@ -83,6 +83,139 @@ inline int column_update(const Peq& peq, int8_t c, bool global_mode,
 
 }  // namespace
 
+// ---- banded HW (threshold-k) path ----------------------------------------
+//
+// Ukkonen block band over the Hyyro word update: only words that can still
+// hold cells <= k are computed each column (the reference recruiter's core
+// speed trick, edlib.cpp:538 initial band, :598-655 adaptive extension /
+// reduction — own implementation). The query is padded to a whole number
+// of words with match-all rows, so the padded bottom-row score at column c
+// equals the true bottom-row score at column c - pad.
+
+namespace {
+
+// One word update, branchless: horizontal carries ride as two bit flags
+// (hp = +1 carry, hn = -1 carry). Returns the out-carries the same way.
+inline void word_update2(uint64_t& P, uint64_t& M, uint64_t Eq,
+                         uint64_t& hp, uint64_t& hn) {
+  const uint64_t Xv = Eq | M;
+  Eq |= hn;                                  // hin < 0 feeds the diagonal
+  const uint64_t Xh = (((Eq & P) + P) ^ P) | Eq;
+  uint64_t Ph = M | ~(Xh | P);
+  uint64_t Mh = P & Xh;
+  const uint64_t hp_out = Ph >> (kWord - 1);
+  const uint64_t hn_out = Mh >> (kWord - 1);
+  Ph = (Ph << 1) | hp;
+  Mh = (Mh << 1) | hn;
+  P = Mh | ~(Xv | Ph);
+  M = Ph & Xv;
+  hp = hp_out;
+  hn = hn_out;
+}
+
+inline int word_update(uint64_t& P, uint64_t& M, uint64_t Eq, int hin) {
+  uint64_t hp = hin > 0, hn = hin < 0;
+  word_update2(P, M, Eq, hp, hn);
+  return (int)hp - (int)hn;
+}
+
+// All 64 cells of a word provably > k? (bottom score + vertical deltas)
+inline bool all_cells_above_k(uint64_t P, uint64_t M, int score, int k) {
+  int v = score;
+  if (v <= k) return false;
+  for (int r = kWord - 1; r > 0; --r) {
+    if ((P >> r) & 1) v -= 1;
+    else if ((M >> r) & 1) v += 1;
+    if (v <= k) return false;
+  }
+  return true;
+}
+
+int32_t hw_banded(const int8_t* query, int32_t qlen, const int8_t* target,
+                  int32_t tlen, int32_t k, int32_t* end_pos) {
+  const int words = (qlen + kWord - 1) / kWord;
+  const int pad = words * kWord - qlen;
+  if (k > qlen) k = qlen;
+  // Peq with match-all padding rows (codes 0..4 all match there)
+  std::vector<uint64_t> peq(5 * (size_t)words, 0);
+  for (int32_t i = 0; i < qlen; ++i) {
+    int a = query[i];
+    if (a >= 0 && a < 4)
+      peq[(size_t)a * words + i / kWord] |= uint64_t{1} << (i % kWord);
+  }
+  for (int32_t i = qlen; i < words * kWord; ++i)
+    for (int a = 0; a < 5; ++a)
+      peq[(size_t)a * words + i / kWord] |= uint64_t{1} << (i % kWord);
+
+  int last = (k + 1 + kWord - 1) / kWord;   // blocks covering rows 0..k
+  if (last > words) last = words;
+  last -= 1;
+  std::vector<uint64_t> P(words, ~uint64_t{0}), M(words, 0);
+  std::vector<int> score(words);
+  for (int b = 0; b <= last; ++b) score[b] = (b + 1) * kWord;
+
+  constexpr int kStrongReduceEvery = 256;
+  int32_t best = -1, best_j = -1;
+  for (int32_t c = 0; c < tlen; ++c) {
+    int a = target[c];
+    if (a < 0 || a > 4) a = 4;
+    const uint64_t* eq = &peq[(size_t)a * words];
+    uint64_t hp = 0, hn = 0;      // HW: target prefix skip is free
+    for (int b = 0; b <= last; ++b) {
+      word_update2(P[b], M[b], eq[b], hp, hn);
+      score[b] += (int)hp - (int)hn;
+    }
+    const int hout = (int)hp - (int)hn;
+    // band adjustment (invariant: all cells outside [0, last] are > k)
+    if (last < words - 1 && score[last] - hout <= k &&
+        ((eq[last + 1] & 1) || hout < 0)) {
+      ++last;
+      P[last] = ~uint64_t{0};
+      M[last] = 0;
+      score[last] = score[last - 1] - hout + kWord;
+      score[last] += word_update(P[last], M[last], eq[last], hout);
+    } else {
+      while (last >= 0 && score[last] >= k + kWord) --last;
+    }
+    if (c % kStrongReduceEvery == 0) {
+      while (last >= 0 && all_cells_above_k(P[last], M[last], score[last], k))
+        --last;
+    }
+    // HW: row 0 restarts at 0 every column — block 0 always a candidate
+    if (last == -1) last = 0;
+
+    if (last == words - 1 && c >= pad) {
+      int colScore = score[last];   // true bottom row at column c - pad
+      if (colScore <= k && (best == -1 || colScore < best)) {
+        best = colScore;
+        best_j = c - pad;
+        k = best;                   // tighten: only look for improvements
+      }
+    }
+  }
+  // last `pad` true columns: walk the final column's cells upward (the
+  // padded rows are diagonal copies of the true bottom row)
+  if (last == words - 1 && pad > 0) {
+    int v = score[last];
+    for (int i = 0; i < pad; ++i) {
+      int r = words * kWord - 1 - i;          // step up over row r
+      int w = r / kWord, bit = r % kWord;
+      if ((P[w] >> bit) & 1) v -= 1;
+      else if ((M[w] >> bit) & 1) v += 1;
+      int32_t pos = tlen - pad + i;
+      if (pos >= 0 && v <= k && (best == -1 || v < best)) {
+        best = v;
+        best_j = pos;
+        k = best;
+      }
+    }
+  }
+  if (end_pos) *end_pos = best_j;
+  return best;   // -1 when no alignment within k exists
+}
+
+}  // namespace
+
 extern "C" int32_t cf_edit_distance(const int8_t* query, int32_t qlen,
                                     const int8_t* target, int32_t tlen,
                                     int32_t mode, int32_t k,
@@ -90,6 +223,9 @@ extern "C" int32_t cf_edit_distance(const int8_t* query, int32_t qlen,
   if (qlen == 0) {
     if (end_pos) *end_pos = -1;
     return mode == CF_MODE_NW ? tlen : 0;
+  }
+  if (mode == CF_MODE_HW && k >= 0) {
+    return hw_banded(query, qlen, target, tlen, k, end_pos);
   }
   Peq peq = build_peq(query, qlen);
   int words = peq.words;

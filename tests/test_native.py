@@ -139,3 +139,45 @@ def test_native_matches_jax_kernel(rng, make_dna):
                                              np.asarray(lens), "HW")
     assert np.array_equal(np.asarray(out["dist"]), dists)
     assert np.array_equal(np.asarray(out["end"]), ends)
+
+
+def test_native_banded_hw_exact(rng, make_dna, make_mutant):
+    """The banded (threshold-k) HW path must agree with the unbanded
+    engine whenever the true distance is within k, including the end
+    position (first best column), and report -1 otherwise."""
+    for trial in range(25):
+        m = int(rng.integers(10, 260))
+        q = make_dna(m)
+        if trial % 3 == 0:
+            t = make_dna(60) + make_mutant(q, n_sub=m // 12,
+                                           n_ins=2, n_del=2) + make_dna(60)
+        else:
+            t = make_dna(int(rng.integers(20, 600)))
+        qc, tc = encode(q), encode(t)
+        want, wend = native_edit_distance(qc, tc, mode="HW", k=-1)
+        for k in (0, 3, want - 1, want, want + 5, m):
+            if k < 0:
+                continue
+            d, e = native_edit_distance(qc, tc, mode="HW", k=k)
+            if want <= k:
+                assert (d, e) == (want, wend), (trial, k)
+            else:
+                assert d == -1, (trial, k, d, want)
+
+
+def test_native_banded_batch(rng, make_dna, make_mutant):
+    q = make_dna(120)
+    texts = [make_mutant(q * 2, n_sub=6) if i % 2 == 0
+             else make_dna(500) for i in range(8)]
+    from centroflye_tpu.io import encode_batch
+    codes, lens = encode_batch(texts, max_len=512)
+    d_full, e_full = native_edit_distance_batch(
+        encode(q), np.asarray(codes), np.asarray(lens), "HW")
+    k = 30
+    d_band, e_band = native_edit_distance_batch(
+        encode(q), np.asarray(codes), np.asarray(lens), "HW", k=k)
+    for i in range(8):
+        if d_full[i] <= k:
+            assert (d_band[i], e_band[i]) == (d_full[i], e_full[i])
+        else:
+            assert d_band[i] == -1
