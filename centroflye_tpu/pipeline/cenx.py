@@ -185,21 +185,37 @@ class CenXPipeline:
         return unit_star
 
     def run_polisher(self, dec: Decomposition, placements) -> str:
-        """Stage 6: per-position consensus polishing -> final assembly."""
+        """Stage 6a: per-position consensus polishing (eltr role)."""
         from centroflye_tpu.stages.polisher import EltrPolisher
-        final_fn = self._artifact("final_assembly.fasta")
-        if os.path.exists(final_fn):
-            return read_seq(final_fn)
+        n = self.config.polisher.num_iters
+        eltr_fn = self._artifact("polishing",
+                                 f"final_sequence_{n}.fasta")
+        if os.path.exists(eltr_fn):
+            return read_seq(eltr_fn)
         unit_instances = {r_id: rec.motif_alignments()
                           for r_id, rec in dec.records.items()}
         polisher = EltrPolisher(self.config.polisher)
         with self.metrics.stage("polishing", "positions") as m:
             out = polisher.run(placements, unit_instances,
                                outdir=self._artifact("polishing"))
-            m.items = len(out.final_sequences.get(
-                self.config.polisher.num_iters, ""))
-        n = self.config.polisher.num_iters
-        final = out.final_sequences.get(n, "")
+            m.items = len(out.final_sequences.get(n, ""))
+        return out.final_sequences.get(n, "")
+
+    def run_tandem_polish(self, dec: Decomposition, placements,
+                          assembly: str) -> str:
+        """Stage 6b: assembly-level re-polish from raw read spans (the
+        reference's tandemQUAST --only-polish role, centroFlye.py:252-272)
+        -> final_assembly.fasta."""
+        from centroflye_tpu.stages.final_polish import run_final_polish
+        final_fn = self._artifact("final_assembly.fasta")
+        if os.path.exists(final_fn):
+            return read_seq(final_fn)
+        with self.metrics.stage("tandem_polish", "bases") as m:
+            final = run_final_polish(
+                assembly, placements, dec.records,
+                self._artifact("polishing2"),
+                n_iters=self.config.polisher.num_iters)
+            m.items = len(final)
         write_seqs(final_fn, {"centroFlye_assembly": final})
         return final
 
@@ -244,7 +260,8 @@ class CenXPipeline:
         placements, clouds = self.run_placement(dec, uniq)
         self.run_placement_validation(placements, clouds)
         self.run_unit_consensus(dec)
-        return self.run_polisher(dec, placements)
+        assembly = self.run_polisher(dec, placements)
+        return self.run_tandem_polish(dec, placements, assembly)
 
 
 # ------------------------- decomposition (de)serialization ----------------

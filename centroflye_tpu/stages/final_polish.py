@@ -1,0 +1,156 @@
+"""Final assembly-level polishing (tandemQUAST `--only-polish` role).
+
+The reference's last stage re-polishes the eltr assembly with the raw
+reads through the external tandemQUAST submodule
+(reference centroFlye.py:252-272: `tandemQUAST --nano <reads> --only-polish`,
+output polishing2/polished/polished_{i}.fasta copied to
+final_assembly.fasta). The submodule is not vendored in the reference
+repo, so this is an in-repo equivalent with the same role: catch residual
+errors — mostly at unit boundaries, where the per-position eltr polisher
+(stages/polisher.py) had the least read context — by re-aligning full
+read spans against the assembled nucleotide sequence and re-voting.
+
+Design: each iteration partitions the assembly into contiguous windows
+(~one unit long) and polishes every window independently with the voting
+consensus (stages/consensus.polish_round) over read segments re-anchored
+by banded infix alignment (the native Myers engine with threshold k).
+Window phase alternates between iterations (offset by half a window), so
+any boundary of one round is interior to the next — the window seams
+cannot accumulate. Reads are located through their placements (the same
+coordinate source the eltr polisher uses, reference eltr_polisher.py:53-66),
+with an alignment margin that absorbs indel drift.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+from centroflye_tpu.ops.align_path import align_path
+from centroflye_tpu.stages.consensus import polish_round
+
+
+def _anchor_segment(template: str, read_seq: str, lo: int, hi: int,
+                    max_div: float) -> Optional[str]:
+    """Best infix match of `template` inside read_seq[lo:hi]; None when
+    the alignment diverges more than max_div."""
+    target = read_seq[max(0, lo):min(len(read_seq), hi)]
+    if len(target) < len(template) // 2:
+        return None
+    al = align_path(template, target, mode="HW")
+    if al.dist > max_div * len(template):
+        return None
+    if al.t_end <= al.t_start:
+        return None
+    return target[al.t_start:al.t_end]
+
+
+def polish_assembly_with_reads(
+    assembly: str,
+    read_spans: Sequence[Tuple[str, float, float]],   # (seq, frac_s, frac_e)
+    *,
+    n_iters: int = 2,
+    window: int = 2048,
+    max_div: float = 0.35,
+    min_coverage: int = 3,
+) -> Dict[int, str]:
+    """Iteratively re-polish `assembly` from raw read sequences.
+
+    read_spans carries each read's tandem-region sequence plus its
+    approximate span on the assembly as FRACTIONS of the assembly length
+    (so spans survive small length changes between iterations). Returns
+    {iteration (1-based): polished assembly} like the reference's
+    polished_{i}.fasta chain.
+    """
+    out: Dict[int, str] = {}
+    cur = assembly
+    for it in range(1, n_iters + 1):
+        n = len(cur)
+        if n == 0 or not read_spans:
+            out[it] = cur
+            continue
+        phase = 0 if it % 2 == 1 else window // 2
+        bounds = []
+        a = 0
+        first_end = phase if phase else min(window, n)
+        while a < n:
+            b = min(n, first_end if a == 0 else a + window)
+            if b <= a:
+                b = min(n, a + window)
+            bounds.append((a, b))
+            a = b
+        margin = window // 3 + 64
+        pieces = []
+        for (a, b) in bounds:
+            template = cur[a:b]
+            segments = []
+            for seq, fs, fe in read_spans:
+                s = fs * n
+                e = fe * n
+                # full containment only: a read covering part of the
+                # window would vote deletions over the uncovered columns
+                if s > a or e < b:
+                    continue
+                # read-local coordinates of the window, with drift margin
+                lo = int(a - s) - margin
+                hi = int(b - s) + margin
+                seg = _anchor_segment(template, seq, lo, hi, max_div)
+                if seg is not None:
+                    segments.append(seg)
+            # below min_coverage a lone noisy read would simply replace
+            # the template wholesale — keep the template instead
+            pieces.append(polish_round(template, segments)
+                          if len(segments) >= min_coverage else template)
+        cur = "".join(pieces)
+        out[it] = cur
+    return out
+
+
+def spans_from_placements(placements: Dict[str, Optional[int]],
+                          records, total_len_units: Optional[int] = None
+                          ) -> Sequence[Tuple[str, float, float]]:
+    """Read spans (sequence, fractional start, fractional end) from unit
+    placements and decomposition records (rec.seq = strand-canonical
+    tandem region, rec.n_units instances)."""
+    placed = [(r, p) for r, p in placements.items()
+              if p is not None and r in records]
+    if not placed:
+        return []
+    total = total_len_units or max(
+        p + records[r].n_units for r, p in placed)
+    total = max(total, 1)
+    spans = []
+    for r, p in placed:
+        rec = records[r]
+        spans.append((rec.seq, p / total,
+                      min(1.0, (p + rec.n_units) / total)))
+    return spans
+
+
+def run_final_polish(assembly: str,
+                     placements: Dict[str, Optional[int]],
+                     records,
+                     outdir: str,
+                     *,
+                     n_iters: int = 2,
+                     window: int = 2048) -> str:
+    """Stage driver: writes polishing2/polished/polished_{i}.fasta per
+    iteration (the reference's artifact layout, centroFlye.py:265-266)
+    and returns the last iteration's sequence."""
+    from centroflye_tpu.io import write_seqs
+    import numpy as _np
+    spans = spans_from_placements(placements, records)
+    if spans and assembly:
+        # windows must sit well below the typical read span or no read
+        # fully contains them and every window keeps its template
+        med = _np.median([(fe - fs) * len(assembly)
+                          for _, fs, fe in spans])
+        window = int(min(window, max(256, med / 2)))
+    polished = polish_assembly_with_reads(
+        assembly, spans, n_iters=n_iters, window=window)
+    pol_dir = os.path.join(outdir, "polished")
+    os.makedirs(pol_dir, exist_ok=True)
+    for it, seq in polished.items():
+        write_seqs(os.path.join(pol_dir, f"polished_{it}.fasta"),
+                   {f"polished_{it}": seq})
+    return polished.get(n_iters, assembly)
