@@ -62,6 +62,14 @@ def load_native(build: bool = False):
         lib.cf_pack2bit.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "cf_align_path_batch"):
+        lib.cf_align_path_batch.restype = None
+        lib.cf_align_path_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -199,3 +207,43 @@ def native_pack2bit(codes: np.ndarray, lens: Optional[np.ndarray] = None):
     if any_n < 0:
         return None
     return packed, (n_mask if any_n else None)
+
+
+def native_align_path_batch(queries, target_codes: np.ndarray,
+                            mode: str = "NW", threads: int = 0):
+    """Batch traceback alignments of many queries against one target
+    (cf_align_path_batch, threaded). queries: list of int8 code arrays.
+    Returns list of (dist, cigar, t_start, t_end) (dist -1 on failure),
+    or None if the native lib is unavailable."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "cf_align_path_batch"):
+        return None
+    n = len(queries)
+    if n == 0:
+        return []
+    t = np.ascontiguousarray(target_codes, dtype=np.int8)
+    stride = max(int(len(q)) for q in queries)
+    stride = max(stride, 1)
+    qbuf = np.full((n, stride), 4, dtype=np.int8)
+    qlens = np.empty(n, dtype=np.int32)
+    for i, q in enumerate(queries):
+        qa = np.ascontiguousarray(q, dtype=np.int8)
+        qbuf[i, :len(qa)] = qa
+        qlens[i] = len(qa)
+    cigar_cap = 16 * (stride + len(t)) + 64
+    cigars = ctypes.create_string_buffer(n * cigar_cap)
+    dists = np.empty(n, dtype=np.int32)
+    t_starts = np.empty(n, dtype=np.int32)
+    t_ends = np.empty(n, dtype=np.int32)
+    lib.cf_align_path_batch(
+        qbuf.ctypes.data, qlens.ctypes.data, n, stride,
+        t.ctypes.data, len(t), _MODES[mode], threads,
+        dists.ctypes.data, t_starts.ctypes.data, t_ends.ctypes.data,
+        cigars, cigar_cap)
+    out = []
+    for i in range(n):
+        raw = cigars.raw[i * cigar_cap:(i + 1) * cigar_cap]
+        cig = raw.split(b"\0", 1)[0].decode("ascii")
+        out.append((int(dists[i]), cig, int(t_starts[i]),
+                    int(t_ends[i])))
+    return out

@@ -54,6 +54,20 @@ int32_t cf_align_path(const int8_t* query, int32_t qlen,
                       char* cigar_buf, int32_t cap,
                       int32_t* t_start, int32_t* t_end);
 
+/* Batch alignment-with-traceback against ONE shared target: queries is a
+ * padded row-major (n x stride) code matrix, qlens the true lengths.
+ * Writes dists[i], t_starts[i], t_ends[i] and the extended-cigar of pair
+ * i into cigar_buf + i * cigar_cap (NUL-terminated; dists[i] = -1 on
+ * failure/overflow). Pairs run on `threads` worker threads (0 = one per
+ * hardware core). */
+void cf_align_path_batch(const int8_t* queries, const int32_t* qlens,
+                         int32_t n, int64_t stride,
+                         const int8_t* target, int32_t tlen,
+                         int32_t mode, int32_t threads,
+                         int32_t* dists, int32_t* t_starts,
+                         int32_t* t_ends,
+                         char* cigar_buf, int64_t cigar_cap);
+
 /* ---- streaming sequence reader ------------------------------------ */
 
 typedef struct cf_reader cf_reader;

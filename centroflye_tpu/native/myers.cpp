@@ -370,3 +370,50 @@ extern "C" int32_t cf_align_path(const int8_t* query, int32_t qlen,
   std::memcpy(cigar_buf, cig.c_str(), cig.size() + 1);
   return dist;
 }
+
+// ---- batched traceback against a shared target ---------------------------
+//
+// The polisher's inner loop: thousands of read-segment vs template
+// alignments per stage (the role the reference fills with one external
+// `flye --polish-target` process per position, eltr_polisher.py:99-114).
+// Native thread fan-out over pairs — the runtime counterpart of the
+// reference's xargs -P process parallelism (run_read_recruitment.sh:42).
+
+#include <thread>
+#include <atomic>
+
+extern "C" void cf_align_path_batch(const int8_t* queries,
+                                    const int32_t* qlens, int32_t n,
+                                    int64_t stride, const int8_t* target,
+                                    int32_t tlen, int32_t mode,
+                                    int32_t threads, int32_t* dists,
+                                    int32_t* t_starts, int32_t* t_ends,
+                                    char* cigar_buf, int64_t cigar_cap) {
+  if (threads <= 0) {
+    threads = (int32_t)std::thread::hardware_concurrency();
+    if (threads <= 0) threads = 1;
+  }
+  if (threads > n) threads = n > 0 ? n : 1;
+  std::atomic<int32_t> next{0};
+  auto work = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int32_t ts = 0, te = 0;
+      int32_t d = cf_align_path(queries + (size_t)i * stride, qlens[i],
+                                target, tlen, mode,
+                                cigar_buf + (size_t)i * cigar_cap,
+                                (int32_t)cigar_cap, &ts, &te);
+      dists[i] = d;
+      t_starts[i] = ts;
+      t_ends[i] = te;
+    }
+  };
+  if (threads == 1) {
+    work();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int32_t t = 0; t < threads; ++t) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+}

@@ -29,17 +29,40 @@ def _majority(counter: Counter, default: str) -> str:
     return cands[0]
 
 
+def _batch_alignments(template: str, reads: Sequence[str]):
+    """All read-vs-template NW alignments as (a1, a2) pairs: one threaded
+    native batch call (cf_align_path_batch) when available, else the
+    per-pair path. Results are identical — the batch API runs the same
+    cf_align_path per pair."""
+    try:
+        from centroflye_tpu.native import native_align_path_batch
+        from centroflye_tpu.io.encoding import encode
+        from centroflye_tpu.utils.bio import parse_cigar
+        res = native_align_path_batch(
+            [encode(r) for r in reads], encode(template), mode="NW")
+    except ImportError:
+        res = None
+    if res is not None and all(r[0] >= 0 for r in res):
+        out = []
+        for read, (dist, cigar, t_start, t_end) in zip(reads, res):
+            _, _, a1, a2 = parse_cigar(cigar, read,
+                                       template[t_start:t_end])
+            out.append((a1, a2))
+        return out
+    return [(al.a1, al.a2) for al in
+            (align_path(r, template, mode="NW") for r in reads)]
+
+
 def polish_round(template: str, reads: Sequence[str]) -> str:
     """One voting round: align every read to the template and rewrite each
     column by majority."""
     n = len(template)
     base_votes: List[Counter] = [Counter() for _ in range(n)]
     ins_votes: List[Counter] = [Counter() for _ in range(n + 1)]
-    for read in reads:
-        al = align_path(read, template, mode="NW")
+    for a1, a2 in _batch_alignments(template, reads):
         t_pos = 0
         pending_ins: List[str] = []
-        for qc, tc in zip(al.a1, al.a2):
+        for qc, tc in zip(a1, a2):
             if tc == "-":
                 pending_ins.append(qc)
                 continue

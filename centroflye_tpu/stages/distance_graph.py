@@ -170,13 +170,16 @@ def build_distance_table(
             cap *= 2
             sharded_step = None
 
+    # distances >= T have no (t, t+d) pairs at all — don't launch their
+    # chunks (the production max_distance=150 usually exceeds the unit
+    # count of most reads)
+    d_hi = min(config.max_distance, max(T - 1, config.min_distance))
     for r0 in range(0, max(R, 1), batch_rows):
         batch = clouds_tensor[r0:r0 + batch_rows]
         nu = n_units[r0:r0 + batch_rows]
         if batch.shape[0] == 0:
             continue
-        for d0 in range(config.min_distance, config.max_distance + 1,
-                        d_chunk):
+        for d0 in range(config.min_distance, d_hi + 1, d_chunk):
             uhi, ulo, cnt, n, capacity = emit(batch, nu, d0, capacity)
             if n == 0:
                 continue

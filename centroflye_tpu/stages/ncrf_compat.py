@@ -122,41 +122,61 @@ def parse_ncrf_report(report_fn: str,
 
 def write_ncrf_like_report(dec: Decomposition, motif: str,
                            out_fn: str) -> None:
-    """Write our decomposition in an NCRF-like 2-line record format
-    (alignment strings are unavailable without a PATH pass, so the read
-    substring doubles as both sides; fidelity sufficient for coordinate
-    consumers — and, on NOISELESS data, sufficient for the reference
-    parser's motif-regex splitting, enabling bit-for-bit parity runs of the
-    reference's downstream Python stages against ours).
+    """Write our decomposition in an NCRF-like 2-line record format.
+
+    Each unit instance contributes a TRUE gapped pairwise alignment of
+    its read segment against the motif (computed with ops/align_path, the
+    banded Myers PATH engine), so the motif side is exactly the motif's
+    bases with interleaved '-' runs — the shape the reference parser's
+    motif-regex splitting expects (reference ncrf_parser.py:28-59) — and
+    the split reproduces this decomposition's instance boundaries on
+    NOISY data too, enabling bit-for-bit parity runs of the reference's
+    downstream Python stages at real parameters. Segments that equal the
+    motif verbatim (noiseless data) skip the alignment.
 
     Records are DE-canonicalized on write ('-' strand records emit the
     reverse-complemented alignment and original-orientation coordinates) so
     any NCRF parser — the reference's or ours — re-canonicalizes them back
     to exactly this decomposition."""
+    from centroflye_tpu.ops.align_path import align_path
+
     with open(out_fn, "w") as f:
         for r_id, rec in dec.records.items():
-            r_al = rec.seq
-            # the motif side shows the MOTIF's characters per instance
-            # (exact for substitution-only divergence; partial first/last
-            # instances take the motif's tail/head)
-            parts = []
+            r_parts = []
+            m_parts = []
             for i in range(rec.n_units):
-                ln = int(rec.bounds[i + 1]) - int(rec.bounds[i])
-                if ln == len(motif):
-                    parts.append(motif)
-                elif i == 0:
-                    parts.append(motif[-ln:] if ln <= len(motif)
-                                 else motif + motif[:ln - len(motif)])
+                st, en = int(rec.bounds[i]), int(rec.bounds[i + 1])
+                seg = rec.seq[st:en]
+                ln = en - st
+                # which motif span this instance should carry: full motif
+                # for interior instances; the tail/head for genuinely
+                # partial first/last instances
+                if ln == len(motif) and seg == motif:
+                    r_parts.append(seg)
+                    m_parts.append(motif)
+                    continue
+                if i == 0 and rec.n_units > 1 and ln < 0.8 * len(motif):
+                    ref_side = motif[-min(ln, len(motif)):]
+                elif i == rec.n_units - 1 and rec.n_units > 1 \
+                        and ln < 0.8 * len(motif):
+                    ref_side = motif[:min(ln, len(motif))]
+                elif ln > len(motif) * 1.5:
+                    # oversized instance (merged partials): repeat motif
+                    ref_side = (motif * (ln // len(motif) + 1))[:ln]
                 else:
-                    parts.append(motif[:ln] if ln <= len(motif)
-                                 else motif + motif[:ln - len(motif)])
-            m_al = "".join(parts)
+                    ref_side = motif
+                al = align_path(seg, ref_side, mode="NW")
+                r_parts.append(al.a1)
+                m_parts.append(al.a2)
+            r_al = "".join(r_parts)
+            m_al = "".join(m_parts)
             r_st, r_en = rec.r_st, rec.r_en
             if rec.strand == "-":
                 r_al = revcomp_str(r_al)
                 m_al = revcomp_str(m_al)
                 r_st, r_en = rec.r_len - rec.r_en, rec.r_len - rec.r_st
-            print(f"{r_id} {rec.r_len} {len(r_al)}bp "
+            n_read_bases = sum(1 for ch in r_al if ch != "-")
+            print(f"{r_id} {rec.r_len} {n_read_bases}bp "
                   f"{r_st}-{r_en} {r_al}", file=f)
             print(f"{motif}{rec.strand} {len(m_al)}bp score=0 {m_al}",
                   file=f)

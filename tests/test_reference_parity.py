@@ -238,3 +238,198 @@ def test_reference_eltr_polisher_matches(world, ours, tmp_path):
     polisher = EltrPolisher(PolisherConfig(num_iters=2))
     out = polisher.run(ours["placements"], unit_instances)
     assert out.final_sequences[2] == ref_final
+
+
+# --------------------------------------------------------------------------
+# Real-parameter, noisy-data parity: the real DXZ1 unit (2,055 bp), k=19,
+# max_distance=150, the reference's default rare band
+# (bottom=0.9, top=3.0, survival=0.34), reads with sequencing noise.
+
+
+@pytest.fixture(scope="module")
+def noisy_world(tmp_path_factory):
+    from centroflye_tpu.io import read_seq
+    from centroflye_tpu.pipeline.simulate import add_read_noise
+
+    data = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "centroflye_tpu", "data")
+    unit = read_seq(os.path.join(data, "DXZ1_rc.fasta"))
+    rng = np.random.default_rng(101)
+    sim = simulate_tandem_repeat(rng, unit, mult=30, div_rate=0.0015,
+                                 flank_len=6000)
+    g = sim.flanked_tr
+    ts, te = 6000, 6000 + len(sim.tr)
+    U = len(unit)
+    reads = []
+    for pi, left in enumerate([5500, 5000, 4500]):
+        reads.append((f"pre{pi}", g[ts - left:ts + 6 * U]))
+    i = 0
+    start = ts
+    while start + 6 * U < te:
+        seq = g[start:start + 8 * U]
+        if i % 3 == 1:
+            seq = revcomp_str(seq)
+        reads.append((f"int{i:02d}", seq))
+        start += 2 * U
+        i += 1
+    for si, right in enumerate([5500, 5000]):
+        reads.append((f"suf{si}", g[te - 6 * U:te + right]))
+    # genuine read noise (subs + indels)
+    reads = [(r, add_read_noise(rng, s, 0.01)) for r, s in reads]
+
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=5000)).decompose(reads)
+    assert len(dec.records) == len(reads)
+
+    outdir = str(tmp_path_factory.mktemp("noisy_parity"))
+    report_fn = os.path.join(outdir, "report.ncrf")
+    write_ncrf_like_report(dec, unit, report_fn)
+    return dict(unit=unit, dec=dec, report_fn=report_fn)
+
+
+def test_reference_parity_real_params_noisy(noisy_world, tmp_path):
+    """k=19 / d<=150 / DXZ1 / default rare band / noisy reads: the
+    reference's own distance_based_kmer_recruitment.py and read_placer.py,
+    fed our noisy-exact NCRF-like report, must reproduce our unique k-mer
+    set and placements bit-for-bit."""
+    unit = noisy_world["unit"]
+    dec = noisy_world["dec"]
+    K19 = 19
+    COV = 4
+    kcfg = KmerRecruitmentConfig(
+        k=K19, min_distance=1, max_distance=150, min_coverage=4,
+        bottom=0.9, top=3.0, kmer_survival_rate=0.34, max_nonuniq=3)
+    records = {r: dec.records[r] for r in sorted(dec.records)}
+    seqs = [rec.seq for rec in records.values()]
+    rare = get_rare_kmers(seqs, kcfg, COV)
+    assert len(rare) > 200
+    clouds = build_read_clouds(records, rare, K19)
+    _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
+    uniq, edges = recruit_unique_kmers(tensor, n_units, rare, kcfg)
+    uniq_strs = sorted(kmer_strings(uniq, K19))
+    assert len(uniq_strs) > 50
+
+    refout = str(tmp_path / "ref_kmers")
+    cmd = [sys.executable,
+           os.path.join(REF, "distance_based_kmer_recruitment.py"),
+           "--ncrf", noisy_world["report_fn"],
+           "--coverage", str(COV),
+           "--min-coverage", "4",
+           "--outdir", refout,
+           "-k", str(K19),
+           "--min-distance", "1",
+           "--max-distance", "150",
+           "--bottom", "0.9",
+           "--top", "3.0",
+           "--kmer-survival-rate", "0.34",
+           "--max-nonuniq", "3"]
+    res = subprocess.run(cmd, env=ref_env(), capture_output=True, text=True,
+                         timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(os.path.join(refout,
+                           "unique_kmers_min_edge_cov_4.txt")) as f:
+        ref_kmers = sorted(line.strip() for line in f if line.strip())
+    assert ref_kmers == uniq_strs
+
+    # placements on the same unique k-mers
+    pcfg = PlacerConfig(
+        min_cloud_kmer_freq=2, min_kmer_mult=2, min_unit=2, min_inters=10,
+        min_prop=3, prefix_threshold=4000, small_threshold=1000)
+    clouds_u = build_read_clouds(records, uniq, K19)
+    clouds_u = filter_read_clouds(clouds_u, min_mult=2)
+    placer = ReadPlacer(pcfg)
+    placements = placer.run(dec, clouds_u)
+    assert sum(1 for p in placements.values() if p is not None) > 5
+
+    kmers_fn = str(tmp_path / "unique_kmers.txt")
+    with open(kmers_fn, "w") as f:
+        for s in uniq_strs:
+            print(s, file=f)
+    refout2 = str(tmp_path / "ref_placer")
+    cmd = [sys.executable, os.path.join(REF, "read_placer.py"),
+           "--ncrf", noisy_world["report_fn"],
+           "--genomic-kmers", kmers_fn,
+           "--k-cloud", str(K19),
+           "--min-cloud-kmer-freq", "2",
+           "--min-kmer-mult", "2",
+           "--min-unit", "2",
+           "--min-inters", "10",
+           "--prefix-threshold", "4000",
+           "--outdir", refout2]
+    res = subprocess.run(cmd, env=ref_env(), capture_output=True, text=True,
+                         timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+    ref_pos = read_positions_file(
+        os.path.join(refout2, "read_positions.csv"))
+    assert set(ref_pos) == set(placements)
+    for r_id in ref_pos:
+        assert ref_pos[r_id] == placements[r_id], r_id
+
+
+# --------------------------------------------------------------------------
+# The reference's ACTUAL native recruiter (rr.cpp + vendored edlib),
+# compiled here, vs our recruitment engine on a noisy rel2-like mix.
+
+
+@pytest.fixture(scope="module")
+def rr_binary(tmp_path_factory):
+    import shutil
+    src = os.path.join(REF, "read_recruitment")
+    if not os.path.exists(os.path.join(src, "rr.cpp")):
+        pytest.skip("reference rr sources not mounted")
+    build = str(tmp_path_factory.mktemp("rr_build"))
+    dst = os.path.join(build, "read_recruitment")
+    shutil.copytree(src, dst)
+    res = subprocess.run(["make", "-C", dst], capture_output=True,
+                         text=True, timeout=600)
+    if res.returncode != 0:
+        pytest.skip(f"rr build failed: {res.stderr[-500:]}")
+    return os.path.join(dst, "rr")
+
+
+def test_rr_binary_recruited_set_matches(rr_binary, tmp_path):
+    """Recruited-set equality against the compiled reference recruiter at
+    the production threshold semantics, on a mix of centromeric reads
+    (various noise levels incl. borderline), random background, and
+    reverse-strand reads."""
+    from centroflye_tpu.io import read_seq, write_seqs, read_seqs
+    from centroflye_tpu.pipeline.simulate import (
+        gen_random_seq, add_read_noise)
+    from centroflye_tpu.stages.recruitment import RecruitmentEngine
+    from centroflye_tpu.config import RecruitmentConfig
+
+    data = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "centroflye_tpu", "data")
+    unit = read_seq(os.path.join(data, "DXZ1_rc.fasta"))
+    rng = np.random.default_rng(11)
+    reads = {}
+    for i in range(40):
+        if i % 4 == 0:
+            noise = [0.02, 0.08, 0.13, 0.16, 0.2][(i // 4) % 5]
+            seq = add_read_noise(rng, unit * 4, noise)
+            if i % 8 == 0:
+                seq = revcomp_str(seq)
+            reads[f"cen{i:02d}_{noise}"] = seq
+        else:
+            reads[f"bg{i:02d}"] = gen_random_seq(rng, 9000)
+    reads_fn = str(tmp_path / "reads.fasta")
+    unit_fn = str(tmp_path / "unit.fasta")
+    write_seqs(reads_fn, reads)
+    write_seqs(unit_fn, {"DXZ1": unit})
+
+    rr_out = str(tmp_path / "rr_out.fasta")
+    res = subprocess.run([rr_binary, unit_fn, reads_fn, rr_out, "350"],
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-500:]
+    rr_set = set(read_seqs(rr_out))
+
+    for prefilter in (False, True):
+        eng = RecruitmentEngine(
+            unit, RecruitmentConfig(threshold=350, batch_size=16,
+                                    prefilter=prefilter),
+            seg_len=16384, mesh=None)
+        ours = {r.r_id for r in eng.run(list(reads.items()))
+                if r.recruited}
+        assert ours == rr_set, (prefilter, ours ^ rr_set)
+    assert any(k.startswith("cen") for k in rr_set)
+    assert not any(k.startswith("bg") for k in rr_set)
