@@ -241,6 +241,24 @@ class MonoDeBruijnGraph:
             coverages.append(float(np.median(e.coverages)))
         return contigs, coverages
 
+    def write_dot(self, path: str) -> None:
+        """Graphviz dump of the collapsed graph (the reference writes
+        db_k{k}.dot per k-sweep round via networkx,
+        debruijn_graph.py:359-361); edges carry length / median coverage /
+        the unique-edge color."""
+        import os
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            print("digraph {", file=f)
+            for nid in sorted(set(self.node_ids.values())):
+                print(f"  n{nid};", file=f)
+            for eid in sorted(self.edges):
+                e = self.edges[eid]
+                cov = float(np.median(e.coverages)) if e.coverages else 0.0
+                print(f'  n{e.u} -> n{e.v} [label="e{eid} len={e.length} '
+                      f'cov={cov:.1f}", color={e.color}];', file=f)
+            print("}", file=f)
+
     def get_path(self, edge_ids: Sequence[int]) -> np.ndarray:
         """Concatenate an edge path's symbols, k-1 overlap collapsed;
         cyclic paths drop the duplicated (k-1)-suffix (reference :124-135)."""

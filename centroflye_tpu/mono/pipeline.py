@@ -53,15 +53,18 @@ class MonoPipeline:
             cut_min_length=cfg.cut_min_length, hor_k=cfg.hor_k,
             hor_min_mult=cfg.hor_min_mult, hor_max_gap=cfg.hor_max_gap)
 
+        graph_dir = os.path.join(self.outdir, "idb") if self.outdir \
+            else None
         contigs_per_k, dbs = iterative_graph(
             ec, min_k=cfg.min_k, max_k=cfg.max_k, min_mult=cfg.min_mult,
             max_uniq_cov=cfg.max_uniq_cov, min_uniq_len=cfg.min_uniq_len,
-            verbose=verbose)
+            verbose=verbose, outdir=graph_dir)
         db = dbs[cfg.max_k]
 
         mappings = db.map_reads(ec)
         scaffolds, edge_scaffolds = scaffolding(
-            db, mappings, min_connections=cfg.min_connections)
+            db, mappings, min_connections=cfg.min_connections,
+            outdir=graph_dir)
 
         if join_scaffolds and len(scaffolds) >= 2:
             # reference cen6 manual join (centroFlyeMono.py:84-87)

@@ -59,9 +59,10 @@ def get_paths_thru_complex_nodes(db: MonoDeBruijnGraph, strings,
 def iterative_graph(monoreads: Dict[str, MonoString], min_k: int,
                     max_k: int, min_mult: int = 5, step: int = 1,
                     max_uniq_cov: int = 60, min_uniq_len: int = 1000,
-                    verbose: bool = False):
+                    verbose: bool = False, outdir: str = None):
     """k-sweep assembly (reference iterative_graph :321-374). Returns
-    (all_contigs {k: [arrays]}, dbs {k: graph})."""
+    (all_contigs {k: [arrays]}, dbs {k: graph}). With `outdir`, dumps
+    db_k{k}.dot per round (reference debruijn_graph.py:359-361)."""
     strings = {r_id: m.syms for r_id, m in monoreads.items()}
     input_strings = dict(strings)
     complex_kp1: Dict[bytes, int] = {}
@@ -83,6 +84,9 @@ def iterative_graph(monoreads: Dict[str, MonoString], min_k: int,
         db.add_kmers(frequent, coverage=frequent)
         db.collapse_nonbranching_paths()
         dbs[k] = db
+        if outdir is not None:
+            import os
+            db.write_dot(os.path.join(outdir, f"db_k{k}.dot"))
         contigs, _paths = db.get_contigs()
         all_contigs[k] = contigs
 
@@ -98,9 +102,11 @@ def iterative_graph(monoreads: Dict[str, MonoString], min_k: int,
 
 
 def scaffolding(db: MonoDeBruijnGraph, mappings,
-                min_connections: int = 2, additional_edges=()):
+                min_connections: int = 2, additional_edges=(),
+                outdir: str = None):
     """Scaffold unique edges with read-path support (reference :377-485).
-    Returns (scaffold symbol arrays, scaffold edge-id paths)."""
+    Returns (scaffold symbol arrays, scaffold edge-id paths). With
+    `outdir`, dumps scaffold_graph.dot (reference debruijn_graph.py:480)."""
     long_edge_ids = set(db.get_long_edges().keys()) | set(additional_edges)
 
     # connections[(e1, e2)][connection-path] = support count
@@ -124,6 +130,18 @@ def scaffolding(db: MonoDeBruijnGraph, mappings,
     for (e1, e2), conn in connections.items():
         if sum(conn.values()) >= min_connections:
             sg_edges[(e1, e2)] = conn
+
+    if outdir is not None:
+        import os
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "scaffold_graph.dot"), "w") as f:
+            print("digraph {", file=f)
+            for nid in sorted(nodes):
+                print(f"  e{nid};", file=f)
+            for (e1, e2), conn in sorted(sg_edges.items()):
+                print(f'  e{e1} -> e{e2} '
+                      f'[label="support={sum(conn.values())}"];', file=f)
+            print("}", file=f)
 
     # weakly connected components + DAG longest path per component
     adj = defaultdict(set)

@@ -81,6 +81,29 @@ class Decomposition:
     read_lens: Dict[str, int]
     discarded: List[str]
 
+    def get_efficiency(self):
+        """Per-read and global fraction of tandem-aligned read length the
+        kept (longest) record actually uses — the reference's diagnostic
+        (reference ncrf_parser.py:147-164; intervals there are inclusive,
+        ours are half-open, so lengths here are en - st).
+
+        Returns ({r_id: used_fraction}, global_fraction)."""
+        efficiency: Dict[str, float] = {}
+        total_length = 0
+        total_used = 0
+        for r_id, alignments in self.positions_all.items():
+            all_len = sum(en - st for st, en, _ in alignments)
+            total_length += all_len
+            if r_id not in self.records or all_len == 0:
+                efficiency[r_id] = 0.0
+            else:
+                rec = self.records[r_id]
+                used = rec.r_en - rec.r_st
+                total_used += used
+                efficiency[r_id] = used / all_len
+        global_eff = total_used / total_length if total_length else 0.0
+        return efficiency, global_eff
+
     def classify(self, large_threshold: int, small_threshold: int = 1000):
         """Partition reads into prefix / internal / suffix reads by flanking
         non-repeat sequence (same rule as reference ncrf_parser.py:120-145:

@@ -104,8 +104,16 @@ def assembly(world):
     cfg = MonoConfig(min_k=3, max_k=8, min_mult=3, polish_n_iter=2,
                      hor_min_mult=200, min_uniq_len=6, max_uniq_cov=100,
                      cut_min_length=8)
-    pipe = MonoPipeline(cfg)
+    import tempfile
+    outdir = tempfile.mkdtemp(prefix="mono_e2e_")
+    pipe = MonoPipeline(cfg, outdir=outdir)
     asm = pipe.run(sd, reads)
+    # graph observability artifacts (reference debruijn_graph.py:359-361,
+    # :480 writes db_k{k}.dot per round and scaffold_graph.dot)
+    import os
+    assert os.path.exists(os.path.join(outdir, "idb", "db_k8.dot"))
+    assert os.path.exists(os.path.join(outdir, "idb",
+                                       "scaffold_graph.dot"))
     return asm
 
 

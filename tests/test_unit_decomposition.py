@@ -124,3 +124,22 @@ def test_classify_reverse_strand_prefix(unit, rng):
     assert dec.records["pre"].strand == "-"
     pre, internal, suf = dec.classify(large_threshold=5000)
     assert pre == ["pre"]
+
+
+def test_get_efficiency(rng):
+    """Efficiency diagnostic (reference ncrf_parser.py:147-164): the kept
+    record's span over the total tandem-aligned length per read."""
+    from centroflye_tpu.pipeline.simulate import gen_random_seq
+    from centroflye_tpu.config import UnitDecompositionConfig
+    from centroflye_tpu.stages.unit_decomposition import UnitDecomposer
+
+    unit = gen_random_seq(rng, 120)
+    reads = [("one", gen_random_seq(rng, 300) + unit * 8
+              + gen_random_seq(rng, 300)),
+             ("none", gen_random_seq(rng, 1500))]
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=500)).decompose(reads)
+    eff, global_eff = dec.get_efficiency()
+    assert set(eff) == set(dec.positions_all)
+    assert 0.9 <= eff["one"] <= 1.0
+    assert 0.9 <= global_eff <= 1.0
