@@ -110,8 +110,8 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         sub_codes = codes[top]
         sub_lens = lens[top]
         if use_pallas:
-            from centroflye_tpu.ops.myers_pallas_v2 import (
-                myers_hw_pallas_v2, TILE_B)
+            from centroflye_tpu.ops.myers_pallas_v3 import (
+                myers_hw_pallas_v3_2strand, TILE_B)
             # the Pallas kernel tiles reads in TILE_B lanes; pad survivor
             # rows (zero length -> never active) up to a tile multiple
             kb_pad = -(-kb // TILE_B) * TILE_B
@@ -121,10 +121,11 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
                      jnp.zeros((kb_pad - kb, L), sub_codes.dtype)], axis=0)
                 sub_lens = jnp.concatenate(
                     [sub_lens, jnp.zeros((kb_pad - kb,), sub_lens.dtype)])
-            out_f = myers_hw_pallas_v2(peq_fwd, sub_codes.T,
-                                       sub_lens.reshape(-1, 1), m=m)
-            out_r = myers_hw_pallas_v2(peq_rc, sub_codes.T,
-                                       sub_lens.reshape(-1, 1), m=m)
+            both = myers_hw_pallas_v3_2strand(
+                peq_fwd, peq_rc, sub_codes.T,
+                sub_lens.reshape(-1, 1), m=m)
+            out_f = {"dist": both["dist_f"]}
+            out_r = {"dist": both["dist_r"]}
         else:
             out_f = myers_distance_batch(peq_fwd, sub_codes, sub_lens,
                                          m=m, mode="HW")

@@ -185,9 +185,11 @@ def myers_hw_pallas(peq: jnp.ndarray, text_t: jnp.ndarray,
 
 def recruit_distances_pallas(peq_fwd, peq_rc, codes, lens, *, m: int):
     """Two-strand recruitment distances with the fastest Pallas kernel
-    (the transposed-layout v2); codes is the standard (B, L) batch
-    (transposed + row-padded internally)."""
-    from centroflye_tpu.ops.myers_pallas_v2 import myers_hw_pallas_v2
+    (the fused two-strand chunked-carry v3 — one pass shares text loads,
+    masks and loop overhead between strands); codes is the standard
+    (B, L) batch (transposed + row-padded internally)."""
+    from centroflye_tpu.ops.myers_pallas_v3 import (
+        myers_hw_pallas_v3_2strand)
     codes = np.asarray(codes)
     lens = np.asarray(lens)
     B, L = codes.shape
@@ -198,6 +200,6 @@ def recruit_distances_pallas(peq_fwd, peq_rc, codes, lens, *, m: int):
         lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
     text_t = jnp.asarray(codes).T
     lens2 = jnp.asarray(lens).reshape(-1, 1).astype(jnp.int32)
-    out_f = myers_hw_pallas_v2(jnp.asarray(peq_fwd), text_t, lens2, m=m)
-    out_r = myers_hw_pallas_v2(jnp.asarray(peq_rc), text_t, lens2, m=m)
-    return out_f["dist"][:B], out_r["dist"][:B]
+    out = myers_hw_pallas_v3_2strand(
+        jnp.asarray(peq_fwd), jnp.asarray(peq_rc), text_t, lens2, m=m)
+    return out["dist_f"][:B], out["dist_r"][:B]

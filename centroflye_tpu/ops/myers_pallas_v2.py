@@ -157,133 +157,3 @@ def myers_hw_pallas_v2(peq: jnp.ndarray, text_t: jnp.ndarray,
         interpret=interpret,
     )(peq, text_t, lens.reshape(1, B))
     return {"dist": dist[0], "end": end[0]}
-
-
-def _make_kernel_2strand(m: int, W: int, L: int):
-    hw_word = (m - 1) // 32
-    hb = (m - 1) % 32
-
-    def kernel(peq_f_ref, peq_r_ref, text_ref, lens_ref,
-               dist_f_ref, end_f_ref, dist_r_ref, end_r_ref,
-               vp_f, vn_f, vp_r, vn_r, state_ref):
-        vp_f[:] = jnp.full((W, TILE_B), 0xFFFFFFFF, jnp.uint32)
-        vn_f[:] = jnp.zeros((W, TILE_B), jnp.uint32)
-        vp_r[:] = jnp.full((W, TILE_B), 0xFFFFFFFF, jnp.uint32)
-        vn_r[:] = jnp.zeros((W, TILE_B), jnp.uint32)
-        # score/best/bestj for both strands in one (6, TILE_B) scratch
-        state_ref[:] = jnp.concatenate([
-            jnp.full((2, TILE_B), m, jnp.int32),
-            jnp.full((2, TILE_B), m, jnp.int32),
-            jnp.full((2, TILE_B), -1, jnp.int32)], axis=0)
-
-        pf = [peq_f_ref[a, :].reshape(W, 1) for a in range(4)]
-        pr = [peq_r_ref[a, :].reshape(W, 1) for a in range(4)]
-        lens = lens_ref[:]
-
-        def strand_update(chars, ps, vp_ref, vn_ref):
-            eq = jnp.where(chars == 0, ps[0], jnp.uint32(0)) | \
-                jnp.where(chars == 1, ps[1], jnp.uint32(0)) | \
-                jnp.where(chars == 2, ps[2], jnp.uint32(0)) | \
-                jnp.where(chars == 3, ps[3], jnp.uint32(0))
-            vp = vp_ref[:]
-            vn = vn_ref[:]
-            d0 = (_carry_add_rows(eq & vp, vp, W) ^ vp) | eq | vn
-            hp = vn | ~(d0 | vp)
-            hn = vp & d0
-            hp_w = hp[hw_word, :].reshape(1, TILE_B)
-            hn_w = hn[hw_word, :].reshape(1, TILE_B)
-            inc = ((hp_w >> jnp.uint32(hb)) & 1).astype(jnp.int32) - \
-                ((hn_w >> jnp.uint32(hb)) & 1).astype(jnp.int32)
-            hp_s = (hp << jnp.uint32(1)) | \
-                (_shift_up_rows(hp, 1, W) >> jnp.uint32(31))
-            hn_s = (hn << jnp.uint32(1)) | \
-                (_shift_up_rows(hn, 1, W) >> jnp.uint32(31))
-            return (hn_s | ~(d0 | hp_s)), (hp_s & d0), inc
-
-        def body(j8, _):
-            base = pl.multiple_of(j8 * 8, 8)
-            chunk = text_ref[pl.ds(base, 8), :].astype(jnp.int32)
-            for t in range(8):
-                j = base + t
-                chars = chunk[t, :].reshape(1, TILE_B)
-                active = (j < lens)
-                vpf, vnf, inc_f = strand_update(chars, pf, vp_f, vn_f)
-                vp_f[:] = jnp.where(active, vpf, vp_f[:])
-                vn_f[:] = jnp.where(active, vnf, vn_f[:])
-                vpr, vnr, inc_r = strand_update(chars, pr, vp_r, vn_r)
-                vp_r[:] = jnp.where(active, vpr, vp_r[:])
-                vn_r[:] = jnp.where(active, vnr, vn_r[:])
-
-                st = state_ref[:]
-                score = jnp.where(jnp.broadcast_to(active, (2, TILE_B)),
-                                  st[0:2] + jnp.concatenate([inc_f, inc_r]),
-                                  st[0:2])
-                improved = jnp.broadcast_to(active, (2, TILE_B)) & \
-                    (score < st[2:4])
-                best = jnp.where(improved, score, st[2:4])
-                bestj = jnp.where(improved, j, st[4:6])
-                state_ref[:] = jnp.concatenate([score, best, bestj], axis=0)
-            return 0
-
-        jax.lax.fori_loop(0, L // 8, body, 0)
-        st = state_ref[:]
-        dist_f_ref[:] = st[2:3]
-        end_f_ref[:] = st[4:5]
-        dist_r_ref[:] = st[3:4]
-        end_r_ref[:] = st[5:6]
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
-def myers_hw_pallas_2strand(peq_f: jnp.ndarray, peq_r: jnp.ndarray,
-                            text_t: jnp.ndarray, lens: jnp.ndarray,
-                            *, m: int, interpret: bool | None = None):
-    """Both strands in one kernel pass (shared text loads + loop): returns
-    dict(dist_f, end_f, dist_r, end_r) each (B,). EXPERIMENTAL: exact in
-    CPU interpret mode; the fused body's Mosaic compile is currently
-    slow/problematic through the remote TPU compiler, so the production
-    path uses two single-strand calls."""
-    L, B = text_t.shape
-    assert B % TILE_B == 0
-    if L % 8:
-        pad = 8 - L % 8
-        text_t = jnp.concatenate(
-            [text_t, jnp.full((pad, B), 4, jnp.int8)], axis=0)
-        L += pad
-    W = n_words(m)
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    kernel = _make_kernel_2strand(m, W, L)
-    grid = (B // TILE_B,)
-    out_shape = tuple(jax.ShapeDtypeStruct((1, B), jnp.int32)
-                      for _ in range(4))
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((5, W), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, W), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, TILE_B), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_B), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(pl.BlockSpec((1, TILE_B), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM)
-                        for _ in range(4)),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((W, TILE_B), jnp.uint32),
-            pltpu.VMEM((W, TILE_B), jnp.uint32),
-            pltpu.VMEM((W, TILE_B), jnp.uint32),
-            pltpu.VMEM((W, TILE_B), jnp.uint32),
-            pltpu.VMEM((6, TILE_B), jnp.int32),
-        ],
-        interpret=interpret,
-    )(peq_f, peq_r, text_t, lens.reshape(1, B))
-    dist_f, end_f, dist_r, end_r = outs
-    return {"dist_f": dist_f[0], "end_f": end_f[0],
-            "dist_r": dist_r[0], "end_r": end_r[0]}

@@ -91,3 +91,24 @@ def test_pallas_v2_matches_v1(rng, make_dna):
     o2 = myers_hw_pallas_v2(jnp.asarray(peq), ct, l2, m=len(q))
     assert np.array_equal(np.asarray(o1["dist"]), np.asarray(o2["dist"]))
     assert np.array_equal(np.asarray(o1["end"]), np.asarray(o2["end"]))
+
+
+def test_pallas_v3_matches_v2(rng, make_dna):
+    import jax.numpy as jnp
+    from centroflye_tpu.ops import myers_pallas as mp
+    from centroflye_tpu.ops.myers_pallas_v2 import myers_hw_pallas_v2
+    from centroflye_tpu.ops.myers_pallas_v3 import myers_hw_pallas_v3
+    q = make_dna(203)
+    texts = [make_dna(int(rng.integers(50, 400))) for _ in range(16)]
+    peq = build_peq(encode(q))
+    codes, lens = encode_batch(texts, max_len=512)
+    B = len(texts)
+    pad = (-B) % mp.TILE_B
+    codes = np.concatenate([codes, np.full((pad, 512), 4, np.int8)])
+    lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+    ct = jnp.asarray(codes).T
+    l2 = jnp.asarray(lens).reshape(-1, 1)
+    o2 = myers_hw_pallas_v2(jnp.asarray(peq), ct, l2, m=len(q))
+    o3 = myers_hw_pallas_v3(jnp.asarray(peq), ct, l2, m=len(q))
+    assert np.array_equal(np.asarray(o2["dist"]), np.asarray(o3["dist"]))
+    assert np.array_equal(np.asarray(o2["end"]), np.asarray(o3["end"]))

@@ -1,6 +1,6 @@
-"""Two-strand fused Pallas kernel: exact on CPU interpret; EXPERIMENTAL on
-real TPU (Mosaic compile of the fused body is slow/problematic through the
-remote compiler — production routes through two single-strand v2 calls)."""
+"""Two-strand fused Pallas kernel (myers_pallas_v3.myers_hw_pallas_v3_2strand
+— the production recruitment scorer: one pass shares text loads, masks and
+loop overhead between strands)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from centroflye_tpu.io import encode, encode_batch
 from centroflye_tpu.io.encoding import revcomp, revcomp_str
 from centroflye_tpu.ops.myers import build_peq, edit_distance_oracle
-from centroflye_tpu.ops.myers_pallas_v2 import myers_hw_pallas_2strand
+from centroflye_tpu.ops.myers_pallas_v3 import myers_hw_pallas_v3_2strand
 
 
 def test_2strand_matches_oracle():
@@ -19,7 +19,7 @@ def test_2strand_matches_oracle():
     codes, lens = encode_batch(texts, max_len=256)
     pf = jnp.asarray(build_peq(encode(q)))
     pr = jnp.asarray(build_peq(revcomp(encode(q))))
-    out = myers_hw_pallas_2strand(
+    out = myers_hw_pallas_v3_2strand(
         pf, pr, jnp.asarray(codes).T,
         jnp.asarray(lens).reshape(-1, 1), m=90)
     qr = revcomp_str(q)
@@ -30,3 +30,20 @@ def test_2strand_matches_oracle():
         assert int(out["end_f"][i]) == oef, i
         assert int(out["dist_r"][i]) == odr, i
         assert int(out["end_r"][i]) == oer, i
+
+
+def test_2strand_with_n_bases_and_empty_rows():
+    rng = np.random.default_rng(9)
+    q = "".join("ACGT"[i] for i in rng.integers(0, 4, 64))
+    texts = [q + "NNNN" + q, "N" * 50, "", q]
+    texts += ["".join("ACGT"[i] for i in rng.integers(0, 4, 100))
+              for _ in range(124)]
+    codes, lens = encode_batch(texts, max_len=256)
+    pf = jnp.asarray(build_peq(encode(q)))
+    pr = jnp.asarray(build_peq(revcomp(encode(q))))
+    out = myers_hw_pallas_v3_2strand(
+        pf, pr, jnp.asarray(codes).T,
+        jnp.asarray(lens).reshape(-1, 1), m=64)
+    for i, t in enumerate(texts[:4]):
+        odf, _ = edit_distance_oracle(q, t, "HW")
+        assert int(out["dist_f"][i]) == odf, (i, t[:20])
