@@ -50,11 +50,67 @@ def shard_read_files(files: List[str]) -> List[str]:
 
 
 def shard_read_stream(reads: Iterable[Tuple[str, str]]
-                      ) -> Iterator[Tuple[str, str]]:
+                      ) -> Iterator[Tuple[int, Tuple[str, str]]]:
     """Round-robin assignment of reads within one stream (for a single
-    shared input file on a common filesystem)."""
+    shared input file on a common filesystem). Yields (global_ordinal,
+    (r_id, seq)) so per-process outputs can be merged back into exact
+    global input order."""
     p = jax.process_index()
     n = jax.process_count()
     for i, item in enumerate(reads):
         if i % n == p:
-            yield item
+            yield i, item
+
+
+def partial_path(output_fn: str, process: Optional[int] = None) -> str:
+    p = jax.process_index() if process is None else process
+    return f"{output_fn}.part{p}"
+
+
+def finish_partial(output_fn: str) -> None:
+    """Mark this process's partial artifact complete (shared-filesystem
+    barrier token; the coordinator merge waits on all tokens)."""
+    with open(partial_path(output_fn) + ".done", "w") as f:
+        f.write("done\n")
+
+
+def merge_partial_fastas(output_fn: str, timeout_s: float = 3600.0,
+                         poll_s: float = 0.5) -> int:
+    """Coordinator-side merge of all processes' partial FASTAs into
+    `output_fn` in exact global input order. Each part line format:
+    `>ordinal r_id` / sequence (written by the distributed recruit path).
+    Waits for every process's .done token (shared filesystem), then
+    streams a sorted merge. Returns the merged record count — the same
+    count (and byte-identical file modulo the ordinal tags being removed)
+    as a single-process run."""
+    import time
+
+    n = jax.process_count()
+    deadline = time.monotonic() + timeout_s
+    parts = [partial_path(output_fn, p) for p in range(n)]
+    while any(not os.path.exists(p + ".done") for p in parts):
+        if time.monotonic() > deadline:
+            missing = [p for p in parts if not os.path.exists(p + ".done")]
+            raise TimeoutError(f"partial artifacts never finished: {missing}")
+        time.sleep(poll_s)
+
+    records = []
+    for part in parts:
+        with open(part) as f:
+            header = None
+            for line in f:
+                line = line.rstrip("\n")
+                if line.startswith(">"):
+                    header = line[1:]
+                elif header is not None:
+                    ordinal, _, r_id = header.partition(" ")
+                    records.append((int(ordinal), r_id, line))
+                    header = None
+    records.sort()
+    with open(output_fn, "w") as out:
+        for _, r_id, seq in records:
+            out.write(f">{r_id}\n{seq}\n")
+    for part in parts:
+        os.remove(part)
+        os.remove(part + ".done")
+    return len(records)

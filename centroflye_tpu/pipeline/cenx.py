@@ -35,13 +35,18 @@ from centroflye_tpu.stages.unit_decomposition import (
 
 class CenXPipeline:
     def __init__(self, unit: str, config: CentroFlyeConfig, outdir: str,
-                 ncrf_report: Optional[str] = None, mesh="auto"):
+                 ncrf_report: Optional[str] = None, mesh="auto",
+                 distributed: bool = False):
         """ncrf_report: optional pinned NCRF report file — when given, the
         decomposition stage parses it (stages/ncrf_compat) instead of
         running the in-repo decomposer (bit-for-bit parity configs).
         mesh: "auto" shards device stages over all local devices when more
         than one is present; pass an explicit Mesh (e.g. make_mesh(1)) to
-        pin the device count."""
+        pin the device count.
+        distributed: on a multi-process pod-slice run (after
+        parallel.distributed.init_distributed), stage 1 shards the read
+        stream over processes with a coordinator merge; later stages run
+        on the coordinator (run() returns "" on other processes)."""
         from centroflye_tpu.utils.logging_utils import MetricsRegistry
         self.unit = unit
         self.config = config
@@ -58,6 +63,7 @@ class CenXPipeline:
         if mesh is not None and mesh.devices.size <= 1:
             mesh = None
         self.mesh = mesh
+        self.distributed = distributed
 
     # ----------------------------------------------------------------- #
     def _artifact(self, *parts) -> str:
@@ -74,7 +80,7 @@ class CenXPipeline:
                 self._write_unit(), reads_fn, out_fn,
                 threshold=self.config.recruitment.threshold,
                 batch_size=self.config.recruitment.batch_size,
-                mesh=self.mesh)
+                mesh=self.mesh, distributed=self.distributed)
         return out_fn
 
     def _write_unit(self) -> str:
@@ -253,8 +259,14 @@ class CenXPipeline:
 
     # ----------------------------------------------------------------- #
     def run(self, reads_fn: str) -> str:
-        """Full chain; returns the final assembly sequence."""
+        """Full chain; returns the final assembly sequence (on the
+        coordinator; "" on other processes of a distributed run, which
+        participate in stage 1 only)."""
         centromeric_fn = self.run_recruitment(reads_fn)
+        if self.distributed:
+            from centroflye_tpu.parallel.distributed import is_coordinator
+            if not is_coordinator():
+                return ""
         dec = self.run_decomposition(centromeric_fn)
         uniq = self.run_unique_kmers(dec)
         placements, clouds = self.run_placement(dec, uniq)

@@ -298,13 +298,26 @@ class RecruitmentEngine:
 
 def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
                  threshold: int, batch_size: int = 256,
-                 seg_len: int = 32768, mesh="auto") -> int:
+                 seg_len: int = 32768, mesh="auto",
+                 distributed: bool = False) -> int:
     """File-level driver with the same CLI contract as the reference rr
     binary (rr.cpp:43: unit.fasta reads.fasta[.gz] output.fasta threshold).
     Returns the number of recruited reads. Uses the native streaming
     packer (native/seqio.cpp) when built — base codes flow from the C++
     reader straight into device batches; only recruited reads are decoded
-    back to strings for output."""
+    back to strings for output.
+
+    distributed=True on a multi-process (pod-slice) run shards the read
+    stream round-robin over processes (the TPU redesign of the reference's
+    awk-split + xargs -P fan-out, run_read_recruitment.sh:35-44): each
+    process recruits its share on its own devices and writes a partial
+    artifact; process 0 merges them back into exact global input order
+    (parallel/distributed.py). Single-process runs are unchanged."""
+    import jax as _jax
+    if distributed and _jax.process_count() > 1:
+        return _recruit_file_distributed(
+            unit_fn, reads_fn, output_fn, threshold=threshold,
+            batch_size=batch_size, seg_len=seg_len, mesh=mesh)
     from centroflye_tpu.io import read_seq, iter_seqs
     from centroflye_tpu.io.encoding import decode
 
@@ -346,6 +359,60 @@ def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
                 out.write(f">{res.r_id}\n{seq}\n")
                 n_recruited += 1
     return n_recruited
+
+
+def _recruit_file_distributed(unit_fn: str, reads_fn: str, output_fn: str,
+                              *, threshold: int, batch_size: int,
+                              seg_len: int, mesh) -> int:
+    """Multi-process recruit_file body: every process streams the shared
+    input, keeps its round-robin share (no coordination needed), recruits
+    on its local devices, and writes `output_fn.part{p}` with global
+    ordinals in the headers; the coordinator merges. Returns the global
+    recruited count on the coordinator, the local count elsewhere."""
+    import os
+
+    from centroflye_tpu.io import read_seq, iter_seqs
+    from centroflye_tpu.io.encoding import decode
+    from centroflye_tpu.parallel.distributed import (
+        finish_partial, is_coordinator, merge_partial_fastas, partial_path,
+        shard_read_stream)
+
+    unit = read_seq(unit_fn)
+    engine = RecruitmentEngine(
+        unit, RecruitmentConfig(threshold=threshold, batch_size=batch_size),
+        seg_len=seg_len, mesh=mesh)
+
+    import collections
+    pending: collections.deque = collections.deque()  # (ordinal, seq)
+
+    def reads_iter():
+        try:
+            from centroflye_tpu.native import (
+                native_available, native_iter_seqs)
+            use_native = native_available()
+        except ImportError:
+            use_native = False
+        it = native_iter_seqs(reads_fn) if use_native \
+            else iter_seqs(reads_fn)
+        for ordinal, (r_id, seq) in shard_read_stream(it):
+            pending.append((ordinal, seq))
+            yield r_id, seq
+
+    os.makedirs(os.path.dirname(os.path.abspath(output_fn)), exist_ok=True)
+    n_local = 0
+    part_fn = partial_path(output_fn)
+    with open(part_fn, "w") as out:
+        for res in engine.run(reads_iter()):
+            ordinal, seq = pending.popleft()
+            if res.recruited:
+                if isinstance(seq, np.ndarray):
+                    seq = decode(seq)
+                out.write(f">{ordinal} {res.r_id}\n{seq}\n")
+                n_local += 1
+    finish_partial(output_fn)
+    if is_coordinator():
+        return merge_partial_fastas(output_fn)
+    return n_local
 
 
 def main(argv=None):
