@@ -121,8 +121,10 @@ def main(argv=None):
     else:
         from centroflye_tpu.mono.string_decomposer import (
             decompose_to_monostrings)
+        from centroflye_tpu.parallel.mesh import auto_mesh
         monomers = read_seqs(args.monomers)
-        sd = decompose_to_monostrings(monomers, reads.items())
+        sd = decompose_to_monostrings(monomers, reads.items(),
+                                      mesh=auto_mesh())
 
     cfg = MonoConfig(min_k=args.min_k, max_k=args.max_k,
                      min_mult=args.min_mult,

@@ -38,8 +38,16 @@ class MonomerDecomposerConfig:
 
 class MonomerDecomposer:
     def __init__(self, monomers: Dict[str, str],
-                 config: MonomerDecomposerConfig | None = None):
+                 config: MonomerDecomposerConfig | None = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — the lockstep alignment
+        batches (read x monomer rows) shard over its data axis
+        (parallel/mesh.make_perrow_myers_step); results are bit-identical
+        to the single-device path."""
         self.config = config or MonomerDecomposerConfig()
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
+        self._mesh_steps = {}
         self.names = list(monomers.keys())
         self.n = len(self.names)
         seqs = list(monomers.values())
@@ -58,19 +66,50 @@ class MonomerDecomposer:
         self.ms = np.array(ms, np.int32)    # (2n,)
         self.window = self.max_m + self.config.slack
 
+    def _device_batch(self, windows: np.ndarray, lens: np.ndarray,
+                      mode: str, collect: str = "best"):
+        """Run the (R*Q)-row lockstep alignment batch, sharded over the
+        mesh data axis when one is present (read rows padded to a device
+        multiple; padding rows have zero length, so their results are
+        inert and sliced away)."""
+        R = windows.shape[0]
+        Q = 2 * self.n
+        Rp = R
+        if self.mesh is not None:
+            n_dev = int(self.mesh.devices.size)
+            Rp = -(-R // n_dev) * n_dev
+            if Rp != R:
+                windows = np.concatenate(
+                    [windows,
+                     np.full((Rp - R, windows.shape[1]), PAD, np.int8)])
+                lens = np.concatenate(
+                    [lens, np.zeros(Rp - R, np.int32)])
+        texts = np.repeat(windows, Q, axis=0)            # (Rp*Q, window)
+        tlens = np.repeat(lens, Q)
+        peqs = np.tile(self.peqs, (Rp, 1, 1))
+        ms = np.tile(self.ms, Rp)
+        if self.mesh is not None:
+            key = (mode, collect)
+            step = self._mesh_steps.get(key)
+            if step is None:
+                from centroflye_tpu.parallel.mesh import (
+                    make_perrow_myers_step)
+                step = make_perrow_myers_step(
+                    self.mesh, self.max_m, mode, collect)
+                self._mesh_steps[key] = step
+            out = step(peqs, texts, tlens, ms)
+        else:
+            out = myers_distance_batch(
+                peqs, texts, tlens, m=self.max_m, mode=mode, ms=ms,
+                collect=collect)
+        return out, R, Q
+
     def _step(self, windows: np.ndarray, lens: np.ndarray, mode: str):
         """One lockstep alignment step: windows (R, window) int8 ->
         per-read best (query_index, dist, end)."""
-        R = windows.shape[0]
-        Q = 2 * self.n
-        texts = np.repeat(windows, Q, axis=0)            # (R*Q, window)
-        tlens = np.repeat(lens, Q)
-        peqs = np.tile(self.peqs, (R, 1, 1))
-        ms = np.tile(self.ms, R)
-        out = myers_distance_batch(
-            peqs, texts, tlens, m=self.max_m, mode=mode, ms=ms)
-        dist = np.asarray(out["dist"]).reshape(R, Q)
-        end = np.asarray(out["end"]).reshape(R, Q)
+        out, R, Q = self._device_batch(windows, lens, mode)
+        dist = np.asarray(out["dist"])[:R * Q].reshape(R, Q)
+        end = np.asarray(out["end"])[:R * Q].reshape(R, Q)
         # normalized distance for fair comparison across monomer lengths
         norm = dist / np.maximum(self.ms[None, :], 1)
         best_q = np.argmin(norm, axis=1)
@@ -83,16 +122,8 @@ class MonomerDecomposer:
         near-optimal alignment end, not the global best — otherwise a
         slightly noisier first monomer instance would be skipped in favor
         of a cleaner later one."""
-        R = windows.shape[0]
-        Q = 2 * self.n
-        texts = np.repeat(windows, Q, axis=0)
-        tlens = np.repeat(lens, Q)
-        peqs = np.tile(self.peqs, (R, 1, 1))
-        ms = np.tile(self.ms, R)
-        out = myers_distance_batch(
-            peqs, texts, tlens, m=self.max_m, mode="HW", ms=ms,
-            collect="all")
-        scores = np.asarray(out["scores"]).reshape(R, Q, -1)
+        out, R, Q = self._device_batch(windows, lens, "HW", collect="all")
+        scores = np.asarray(out["scores"])[:R * Q].reshape(R, Q, -1)
         norm = scores / np.maximum(self.ms[None, :, None], 1)
         best_q = np.zeros(R, np.int64)
         best_d = np.zeros(R, np.int64)
@@ -189,11 +220,11 @@ class MonomerDecomposer:
 def decompose_to_monostrings(monomers: Dict[str, str],
                              reads: Iterable[Tuple[str, str]],
                              config: MonomerDecomposerConfig | None = None,
-                             max_gap: int = 100):
+                             max_gap: int = 100, mesh=None):
     """reads -> SDReport (monoreads) without the external tool."""
     from centroflye_tpu.mono.sd_parser import SDReport
 
-    dec = MonomerDecomposer(monomers, config)
+    dec = MonomerDecomposer(monomers, config, mesh=mesh)
     records = dec.decompose(reads)
     return SDReport.from_decomposition(
         records, dec.names, max_gap=max_gap,

@@ -81,6 +81,28 @@ def make_recruitment_step(mesh: Mesh, m: int):
     return step
 
 
+def make_perrow_myers_step(mesh: Mesh, m: int, mode: str,
+                           collect: str = "best"):
+    """Sharded per-row-query Myers batch (the monomer decomposition
+    step's device call, mono/string_decomposer.py): rows = read x monomer
+    combinations, each with its own Peq table and query length, split over
+    the data axis; embarrassingly parallel like recruitment. The role of
+    StringDecomposer's thread fan-out (reference README.md:184-196, ~9h on
+    50 threads for cen6) over a pod slice instead."""
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(NamedSharding(mesh, P(DATA_AXIS, None, None)),
+                      NamedSharding(mesh, P(DATA_AXIS, None)),
+                      NamedSharding(mesh, P(DATA_AXIS)),
+                      NamedSharding(mesh, P(DATA_AXIS))))
+    def step(peqs, texts, tlens, ms):
+        return myers_distance_batch(
+            peqs, texts, tlens, m=m, mode=mode, ms=ms, collect=collect)
+
+    return step
+
+
 def make_kmer_count_step(mesh: Mesh, k: int, capacity: int):
     """Sharded exact k-mer counting: per-shard sort/segment-reduce tables,
     merged across the mesh with an all_gather + associative fold (each

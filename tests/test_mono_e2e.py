@@ -154,3 +154,26 @@ def test_real_d6z1_monomer_calling(rng):
     n = min(len(called), len(truth))
     agree = sum(1 for a, b in zip(called[:n], truth[:n]) if a == b)
     assert agree >= 0.9 * n, (agree, n)
+
+
+def test_decomposer_mesh_identical(world):
+    """Mesh-sharded monomer decomposition (parallel/mesh.
+    make_perrow_myers_step over the 8-device CPU mesh) must produce
+    bit-identical calls to the single-device path — including a read
+    count that doesn't divide the device count (padding path)."""
+    import jax
+    from centroflye_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    g = world["genome_nucl"]
+    reads = []
+    for i in range(3):
+        st = int(rng.integers(0, len(g) - 6 * MONO_LEN))
+        reads.append((f"r{i}", g[st:st + 6 * MONO_LEN]))
+
+    single = MonomerDecomposer(
+        world["monomers"], MonomerDecomposerConfig(batch_reads=4))
+    sharded = MonomerDecomposer(
+        world["monomers"], MonomerDecomposerConfig(batch_reads=4),
+        mesh=make_mesh())
+    assert single.decompose(reads) == sharded.decompose(reads)
