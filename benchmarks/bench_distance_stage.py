@@ -51,8 +51,9 @@ def main():
         pairs += n_reads * max(0, T - d) * (K * 0.7) ** 2
 
     t0 = time.perf_counter()
-    uhi, ulo, cnt, n = build_distance_table(
-        clouds, n_units, cfg, capacity=1 << 22)
+    # capacity auto-sized from the pair-observation bound: one compile
+    # per shape, no recompile-on-doubling
+    uhi, ulo, cnt, n = build_distance_table(clouds, n_units, cfg)
     # force materialization
     total = int(np.asarray(cnt[:max(n, 1)]).sum())
     dt = time.perf_counter() - t0
@@ -64,6 +65,12 @@ def main():
     print(f"wall: {dt:.1f}s  ({pairs/dt/1e6:.0f}M pair-observations/s)")
     print(f"unique kmers: {len(edges.unique_kmer_indices)}, "
           f"edges: {len(edges.i)}")
+    import json
+    print(json.dumps({
+        "metric": "distance_stage_pair_obs_per_s",
+        "value": round(pairs / dt / 1e6, 1), "unit": "M pair-obs/s",
+        "reads": n_reads, "T": T, "K": K,
+        "raw_pair_obs": int(pairs), "wall_s": round(dt, 1)}))
 
 
 if __name__ == "__main__":

@@ -106,7 +106,7 @@ def build_distance_table(
     capacity: Optional[int] = None,
     batch_rows: Optional[int] = None,
     d_chunk: int = 8,
-    element_budget: int = 64 << 20,
+    element_budget: int = 256 << 20,
     mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Full (i, j, d) -> count table over all reads and distances.
@@ -179,13 +179,27 @@ def build_distance_table(
         nu = n_units[r0:r0 + batch_rows]
         if batch.shape[0] == 0:
             continue
+        if batch.shape[0] < batch_rows and R > batch_rows:
+            # pad the trailing short batch to the full batch shape: -1
+            # clouds generate no keys, and one shape means one compile
+            # (remote compiles cost ~30-90s each through the dev tunnel)
+            short = batch.shape[0]
+            batch = np.concatenate(
+                [batch, np.full((batch_rows - short, T, K), -1,
+                                np.int32)])
+            nu = np.concatenate(
+                [nu, np.zeros(batch_rows - short, np.int32)])
         for d0 in range(config.min_distance, d_hi + 1, d_chunk):
             uhi, ulo, cnt, n, capacity = emit(batch, nu, d0, capacity)
             if n == 0:
                 continue
+            # the accumulator stays ON DEVICE across the whole sweep —
+            # only the run-count scalar syncs per merge. Materializing it
+            # per merge would move ~3*capacity*4B each way per chunk
+            # (hundreds of MB through a thin host link at production
+            # scale), dwarfing the sort time.
             if acc is None:
-                acc = (np.asarray(uhi), np.asarray(ulo),
-                       np.asarray(cnt), n)
+                acc = (uhi, ulo, cnt, n)
             else:
                 while True:
                     muhi, mulo, mcnt, mn = merge_count_tables(
@@ -194,12 +208,12 @@ def build_distance_table(
                     if int(mn) <= capacity:
                         break
                     capacity *= 2
-                acc = (np.asarray(muhi), np.asarray(mulo),
-                       np.asarray(mcnt), int(mn))
+                acc = (muhi, mulo, mcnt, int(mn))
     if acc is None:
         e = np.full(capacity, _SENT, np.uint32)
         return e, e.copy(), np.zeros(capacity, np.int32), 0
-    return acc
+    return (np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2]),
+            int(acc[3]))
 
 
 @dataclasses.dataclass
