@@ -263,11 +263,119 @@ extern "C" void cf_edit_distance_batch(const int8_t* query, int32_t qlen,
   }
 }
 
-extern "C" int32_t cf_align_path(const int8_t* query, int32_t qlen,
-                                 const int8_t* target, int32_t tlen,
-                                 int32_t mode, char* cigar_buf, int32_t cap,
-                                 int32_t* t_start, int32_t* t_end) {
-  if (qlen == 0 || tlen == 0) return -1;
+namespace {
+
+// run-length encode the reversed op string into cigar_buf
+int32_t emit_cigar(const std::string& ops, char* cigar_buf, int32_t cap,
+                   int32_t dist) {
+  std::string cig;
+  for (size_t a = ops.size(); a > 0;) {
+    char op = ops[a - 1];
+    size_t b = a;
+    while (b > 0 && ops[b - 1] == op) --b;
+    cig += std::to_string(a - b);
+    cig.push_back(op);
+    a = b;
+  }
+  if ((int32_t)cig.size() + 1 > cap) return -1;
+  std::memcpy(cigar_buf, cig.c_str(), cig.size() + 1);
+  return dist;
+}
+
+// Exact banded traceback: with the final distance `dist` known (from the
+// cheap bit-parallel forward pass), every cell on ANY optimal path lies
+// within |(jj - i) - (jj_end - qlen)| <= dist of the end-anchored
+// diagonal (indels on the path suffix are bounded by its cost). Filling
+// only that band gives values equal to the true DP on every cell the
+// greedy walk can test (a neighbor passing `val + cost == cur` is itself
+// on an optimal path, hence in-band and exact), so the emitted path is
+// bit-identical to the full-matrix traceback — at O(dist * qlen) cells
+// instead of O(qlen * tlen) bit-walk work. Mirrors edlib's banded design
+// (reference edlib.cpp:538,598-655) but anchored for traceback.
+int32_t align_path_banded(const int8_t* query, int32_t qlen,
+                          const int8_t* target, int32_t tlen,
+                          int32_t mode, int32_t dist, int32_t jj_end,
+                          char* cigar_buf, int32_t cap,
+                          int32_t* t_start, int32_t* t_end) {
+  const int32_t INF = 1 << 29;
+  const int64_t stride =
+      std::min<int64_t>(2 * (int64_t)dist + 1, (int64_t)jj_end + 1);
+  const int64_t nvals = (int64_t)(qlen + 1) * stride;
+  if (nvals > (int64_t{192} << 20) / 4) return -2;  // caller falls back
+  std::vector<int32_t> band((size_t)nvals, INF);
+  std::vector<int32_t> lo_of(qlen + 1), hi_of(qlen + 1);
+  const bool hw = (mode == CF_MODE_HW);
+  for (int32_t i = 0; i <= qlen; ++i) {
+    int64_t center = (int64_t)i + jj_end - qlen;
+    lo_of[i] = (int32_t)std::max<int64_t>(1, center - dist);
+    hi_of[i] = (int32_t)std::min<int64_t>(jj_end, center + dist);
+  }
+  // boundary cells (i == 0 or jj == 0) are computed on the fly
+  auto getv = [&](int32_t i, int32_t jj) -> int32_t {
+    if (jj == 0) return i;
+    if (i == 0) return hw ? 0 : jj;
+    if (jj < lo_of[i] || jj > hi_of[i]) return INF;
+    return band[(size_t)i * stride + (jj - lo_of[i])];
+  };
+  for (int32_t i = 1; i <= qlen; ++i) {
+    const int8_t qc = query[i - 1];
+    int32_t* row = &band[(size_t)i * stride];
+    for (int32_t jj = lo_of[i]; jj <= hi_of[i]; ++jj) {
+      const int8_t tc = target[jj - 1];
+      const bool match = (qc == tc && qc >= 0 && qc < 4);
+      int32_t v = getv(i - 1, jj - 1) + (match ? 0 : 1);
+      int32_t u = getv(i - 1, jj) + 1;
+      if (u < v) v = u;
+      int32_t l = getv(i, jj - 1) + 1;
+      if (l < v) v = l;
+      row[jj - lo_of[i]] = v;
+    }
+  }
+  if (getv(qlen, jj_end) != dist) return -2;  // safety net: fall back
+
+  std::string ops;
+  int32_t i = qlen, jj = jj_end;
+  while (i > 0) {
+    if (jj == 0) {
+      ops.push_back('I');
+      --i;
+      continue;
+    }
+    const int32_t cur = getv(i, jj);
+    const int8_t qc = query[i - 1];
+    const int8_t tc = target[jj - 1];
+    const bool match = (qc == tc && qc >= 0 && qc < 4);
+    if (getv(i - 1, jj - 1) + (match ? 0 : 1) == cur) {
+      ops.push_back(match ? '=' : 'X');
+      --i;
+      --jj;
+    } else if (getv(i - 1, jj) + 1 == cur) {
+      ops.push_back('I');
+      --i;
+    } else if (getv(i, jj - 1) + 1 == cur) {
+      ops.push_back('D');
+      --jj;
+    } else {
+      return -1;
+    }
+  }
+  if (mode == CF_MODE_NW) {
+    while (jj > 0) {
+      ops.push_back('D');
+      --jj;
+    }
+  }
+  if (t_start) *t_start = jj;
+  if (t_end) *t_end = jj_end;
+  return emit_cigar(ops, cigar_buf, cap, dist);
+}
+
+// full-matrix fallback: per-column vertical delta snapshots + bit walks
+// (O(qlen*tlen/64) memory words, unbounded band)
+int32_t align_path_full(const int8_t* query, int32_t qlen,
+                        const int8_t* target, int32_t tlen,
+                        int32_t mode, char* cigar_buf, int32_t cap,
+                        int32_t* t_start, int32_t* t_end) {
   Peq peq = build_peq(query, qlen);
   int words = peq.words;
   std::vector<uint64_t> vp(words, ~uint64_t{0});
@@ -356,19 +464,33 @@ extern "C" int32_t cf_align_path(const int8_t* query, int32_t qlen,
   }
   if (t_start) *t_start = j + 1;
 
-  // run-length encode reversed ops
-  std::string cig;
-  for (size_t a = ops.size(); a > 0;) {
-    char op = ops[a - 1];
-    size_t b = a;
-    while (b > 0 && ops[b - 1] == op) --b;
-    cig += std::to_string(a - b);
-    cig.push_back(op);
-    a = b;
+  return emit_cigar(ops, cigar_buf, cap, dist);
+}
+
+}  // namespace
+
+extern "C" int32_t cf_align_path(const int8_t* query, int32_t qlen,
+                                 const int8_t* target, int32_t tlen,
+                                 int32_t mode, char* cigar_buf, int32_t cap,
+                                 int32_t* t_start, int32_t* t_end) {
+  if (qlen == 0 || tlen == 0) return -1;
+  // pass 1: bit-parallel distance + end column (no snapshots)
+  int32_t end_j = -1;
+  int32_t dist = cf_edit_distance(query, qlen, target, tlen, mode, -1,
+                                  &end_j);
+  if (mode != CF_MODE_NW && end_j < 0) {  // empty alignment is best
+    if (t_start) *t_start = 0;
+    if (t_end) *t_end = 0;
+    if (cap > 0) cigar_buf[0] = '\0';
+    return dist;
   }
-  if ((int32_t)cig.size() + 1 > cap) return -1;
-  std::memcpy(cigar_buf, cig.c_str(), cig.size() + 1);
-  return dist;
+  const int32_t jj_end = (mode == CF_MODE_NW) ? tlen : end_j + 1;
+  // pass 2: banded traceback (exact; band width from the known distance)
+  int32_t r = align_path_banded(query, qlen, target, tlen, mode, dist,
+                                jj_end, cigar_buf, cap, t_start, t_end);
+  if (r != -2) return r;
+  return align_path_full(query, qlen, target, tlen, mode, cigar_buf, cap,
+                         t_start, t_end);
 }
 
 // ---- batched traceback against a shared target ---------------------------

@@ -9,14 +9,25 @@ is in-repo and deterministic: each read segment is aligned to the template
 per inter-column gap (inserted strings), and the majority rewrite becomes the
 next template, iterated `n_iters` times. Ties break lexicographically
 (deletion sorts before bases), so outputs are reproducible bit-for-bit.
+
+Hot path: alignments run as ONE threaded native batch (cf_align_path_batch,
+banded traceback), and the voting is numpy run-length arithmetic over the
+CIGAR runs — '='/'D' runs become prefix-sum difference updates, only the
+rare 'X'/'I' events touch per-event Python. The original per-aligned-char
+walk is kept as the exact fallback when the native engine is absent.
 """
 
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
 
 from centroflye_tpu.ops.align_path import align_path
+
+_BASE_IDX = {"-": 0, "A": 1, "C": 2, "G": 3, "T": 4}
+_IDX_BASE = "-ACGT"
 
 
 def _majority(counter: Counter, default: str) -> str:
@@ -27,6 +38,32 @@ def _majority(counter: Counter, default: str) -> str:
     top = best[1]
     cands = sorted(k for k, v in counter.items() if v == top)
     return cands[0]
+
+
+def _iter_cigar(cigar: str):
+    num = 0
+    for ch in cigar:
+        if "0" <= ch <= "9":
+            num = num * 10 + (ord(ch) - 48)
+        else:
+            yield num, ch
+            num = 0
+
+
+def _batch_cigars(template: str, reads: Sequence[str]
+                  ) -> Optional[List[str]]:
+    """All read-vs-template NW CIGARs from one threaded native batch, or
+    None when the native engine is unavailable / any pair failed."""
+    try:
+        from centroflye_tpu.native import native_align_path_batch
+        from centroflye_tpu.io.encoding import encode
+        res = native_align_path_batch(
+            [encode(r) for r in reads], encode(template), mode="NW")
+    except ImportError:
+        return None
+    if res is None or any(r[0] < 0 for r in res):
+        return None
+    return [r[1] for r in res]
 
 
 def _batch_alignments(template: str, reads: Sequence[str]):
@@ -53,9 +90,8 @@ def _batch_alignments(template: str, reads: Sequence[str]):
             (align_path(r, template, mode="NW") for r in reads)]
 
 
-def polish_round(template: str, reads: Sequence[str]) -> str:
-    """One voting round: align every read to the template and rewrite each
-    column by majority."""
+def _polish_round_aligned(template: str, reads: Sequence[str]) -> str:
+    """Exact per-aligned-char voting walk (fallback path / oracle)."""
     n = len(template)
     base_votes: List[Counter] = [Counter() for _ in range(n)]
     ins_votes: List[Counter] = [Counter() for _ in range(n + 1)]
@@ -80,6 +116,100 @@ def polish_round(template: str, reads: Sequence[str]) -> str:
         if base != "-":
             out.append(base)
     tail = _majority(ins_votes[n], "")
+    if tail:
+        out.append(tail)
+    return "".join(out)
+
+
+def polish_round(template: str, reads: Sequence[str]) -> str:
+    """One voting round: align every read to the template and rewrite each
+    column by majority."""
+    n = len(template)
+    if n == 0 or not reads:
+        return template
+    cigars = _batch_cigars(template, reads)
+    if cigars is None:
+        return _polish_round_aligned(template, reads)
+    n_reads = len(reads)
+
+    # run-length voting: '='/'D' runs as difference arrays, 'X'/'I' as
+    # sparse per-event lists (NW covers every template column, so each
+    # read casts exactly one base vote per column and one insertion vote
+    # — possibly '' — per gap)
+    match_diff = np.zeros(n + 1, np.int64)
+    del_diff = np.zeros(n + 1, np.int64)
+    x_pos: List[int] = []
+    x_idx: List[int] = []
+    extra: Counter = Counter()        # (col, char) for non-ACGT read chars
+    ins_nonempty = np.zeros(n + 1, np.int64)
+    ins_by_gap: Dict[int, Counter] = {}   # gap -> {string: count}
+    for cigar, read in zip(cigars, reads):
+        t = 0
+        r = 0
+        for length, op in _iter_cigar(cigar):
+            if op == "=":
+                match_diff[t] += 1
+                match_diff[t + length] -= 1
+                t += length
+                r += length
+            elif op == "X":
+                for i in range(length):
+                    idx = _BASE_IDX.get(read[r + i], -1)
+                    if idx > 0:
+                        x_pos.append(t + i)
+                        x_idx.append(idx)
+                    else:
+                        extra[(t + i, read[r + i])] += 1
+                t += length
+                r += length
+            elif op == "D":
+                del_diff[t] += 1
+                del_diff[t + length] -= 1
+                t += length
+            else:  # 'I'
+                ins_by_gap.setdefault(t, Counter())[
+                    read[r:r + length]] += 1
+                ins_nonempty[t] += 1
+                r += length
+
+    counts = np.zeros((n, 5), np.int64)
+    counts[:, 0] = np.cumsum(del_diff)[:n]
+    tidx = np.array([_BASE_IDX.get(c, 0) for c in template], np.int64)
+    counts[np.arange(n), tidx] += np.cumsum(match_diff)[:n]
+    if x_pos:
+        np.add.at(counts, (np.asarray(x_pos), np.asarray(x_idx)), 1)
+    # first-max argmax == smallest key among ties ('-' < 'A' < ... < 'T')
+    best = np.argmax(counts, axis=1)
+    # columns with non-ACGT votes: recompute exactly with a full Counter
+    overrides: Dict[int, str] = {}
+    extra_by_col: Dict[int, Counter] = {}
+    for (p, ch), v in extra.items():
+        extra_by_col.setdefault(p, Counter())[ch] += v
+    for j, cex in extra_by_col.items():
+        c = Counter({_IDX_BASE[a]: int(counts[j, a])
+                     for a in range(5) if counts[j, a]})
+        c.update(cex)
+        overrides[j] = _majority(c, template[j])
+
+    ins_gaps: Dict[int, str] = {}
+    for g, c in ins_by_gap.items():
+        empty = n_reads - int(ins_nonempty[g])
+        cand = Counter(c)
+        if empty > 0:
+            cand[""] += empty
+        ins_gaps[g] = _majority(cand, "")
+
+    out: List[str] = []
+    for j in range(n):
+        ins = ins_gaps.get(j, "")
+        if ins:
+            out.append(ins)
+        base = overrides.get(j)
+        if base is None:
+            base = _IDX_BASE[best[j]]
+        if base != "-":
+            out.append(base)
+    tail = ins_gaps.get(n, "")
     if tail:
         out.append(tail)
     return "".join(out)

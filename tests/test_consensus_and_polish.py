@@ -102,3 +102,31 @@ def test_reconstruct_unit_rotation(rng):
                                  ConsensusUnitConfig(k=21, top_factor=3))
     assert unit_star == unit or align_path(unit_star, unit,
                                            mode="NW").dist <= 1
+
+
+def test_polish_round_vectorized_matches_char_walk(rng):
+    """The run-length numpy voting fast path must be bit-identical to the
+    per-aligned-char walk (including insertion-gap and deletion ties)."""
+    from centroflye_tpu.stages.consensus import _polish_round_aligned
+
+    for trial in range(8):
+        truth = gen_random_seq(rng, 150 + 40 * trial)
+        template = add_read_noise(rng, truth, 0.04)
+        cov = int(rng.integers(1, 14))
+        reads = [add_read_noise(rng, truth, 0.08) for _ in range(cov)]
+        assert polish_round(template, reads) == \
+            _polish_round_aligned(template, reads)
+
+
+def test_polish_round_empty_and_n_bases(rng):
+    from centroflye_tpu.stages.consensus import _polish_round_aligned
+
+    assert polish_round("ACGT", []) == "ACGT"
+    assert polish_round("", ["ACGT"]) == ""
+    # non-ACGT template/read chars route through the exact Counter path
+    truth = gen_random_seq(rng, 120)
+    template = truth[:50] + "N" + truth[51:]
+    reads = [add_read_noise(rng, truth, 0.05) for _ in range(5)]
+    reads[0] = reads[0][:30] + "N" + reads[0][31:]
+    assert polish_round(template, reads) == \
+        _polish_round_aligned(template, reads)

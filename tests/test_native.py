@@ -181,3 +181,77 @@ def test_native_banded_batch(rng, make_dna, make_mutant):
             assert (d_band[i], e_band[i]) == (d_full[i], e_full[i])
         else:
             assert d_band[i] == -1
+
+
+def test_native_align_path_banded_exact_path(rng, make_dna, make_mutant):
+    """The banded traceback (pass-1 distance + dist-wide band DP) must
+    reproduce the full-matrix greedy path op-for-op: same CIGAR, same
+    t_start/t_end — including SHW/HW infix anchoring and high-divergence
+    pairs that stress the band edges."""
+
+    def dp_path(q, t, mode):
+        n, m = len(q), len(t)
+        D = np.zeros((n + 1, m + 1), dtype=np.int32)
+        D[:, 0] = np.arange(n + 1)
+        D[0, :] = 0 if mode == "HW" else np.arange(m + 1)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                c = 0 if q[i - 1] == t[j - 1] else 1
+                D[i, j] = min(D[i - 1, j - 1] + c, D[i - 1, j] + 1,
+                              D[i, j - 1] + 1)
+        if mode == "NW":
+            jj, dist = m, int(D[n, m])
+        else:
+            dist, jj = int(D[n].min()), int(D[n].argmin())
+        ops = []
+        i, j = n, jj
+        while i > 0:
+            if j == 0:
+                ops.append("I")
+                i -= 1
+                continue
+            c = 0 if q[i - 1] == t[j - 1] else 1
+            if D[i - 1, j - 1] + c == D[i, j]:
+                ops.append("=" if c == 0 else "X")
+                i -= 1
+                j -= 1
+            elif D[i - 1, j] + 1 == D[i, j]:
+                ops.append("I")
+                i -= 1
+            else:
+                ops.append("D")
+                j -= 1
+        if mode == "NW":
+            while j > 0:
+                ops.append("D")
+                j -= 1
+        return dist, j, jj, "".join(reversed(ops))
+
+    def expand(cig):
+        out, num = [], ""
+        for ch in cig:
+            if ch.isdigit():
+                num += ch
+            else:
+                out.append(int(num) * ch)
+                num = ""
+        return "".join(out)
+
+    for trial in range(24):
+        mode = ["NW", "SHW", "HW"][trial % 3]
+        q = make_dna(int(rng.integers(8, 90)))
+        nmut = max(1, len(q) // 10)
+        if mode == "HW":
+            t = (make_dna(int(rng.integers(0, 40)))
+                 + make_mutant(q, n_sub=nmut, n_ins=nmut, n_del=nmut)
+                 + make_dna(int(rng.integers(0, 40))))
+        else:
+            t = (make_mutant(q, n_sub=nmut, n_ins=nmut, n_del=nmut)
+                 if rng.random() < 0.7
+                 else make_dna(int(rng.integers(8, 120))))
+        d, cigar, t_st, t_en = native_align_path(encode(q), encode(t), mode)
+        od, ts, te, ops = dp_path(q, t, mode)
+        if mode != "NW" and te == 0:
+            continue  # empty-alignment convention differs; not a path case
+        assert (d, t_st, t_en) == (od, ts, te), (trial, mode)
+        assert expand(cigar) == ops, (trial, mode)
