@@ -70,6 +70,14 @@ def load_native(build: bool = False):
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
             ctypes.c_int64]
+    if hasattr(lib, "cf_align_path_pairs"):
+        lib.cf_align_path_pairs.restype = None
+        lib.cf_align_path_pairs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -240,10 +248,61 @@ def native_align_path_batch(queries, target_codes: np.ndarray,
         t.ctypes.data, len(t), _MODES[mode], threads,
         dists.ctypes.data, t_starts.ctypes.data, t_ends.ctypes.data,
         cigars, cigar_cap)
+    raw = cigars.raw     # materialize the buffer ONCE (`.raw` copies)
     out = []
     for i in range(n):
-        raw = cigars.raw[i * cigar_cap:(i + 1) * cigar_cap]
-        cig = raw.split(b"\0", 1)[0].decode("ascii")
+        cig = raw[i * cigar_cap:(i + 1) * cigar_cap].split(
+            b"\0", 1)[0].decode("ascii")
+        out.append((int(dists[i]), cig, int(t_starts[i]),
+                    int(t_ends[i])))
+    return out
+
+
+def native_align_path_pairs(queries, targets, mode: str = "HW",
+                            threads: int = 0):
+    """Batch traceback alignments over independent (query, target) pairs
+    (cf_align_path_pairs, threaded). queries/targets: equal-length lists
+    of int8 code arrays. Returns list of (dist, cigar, t_start, t_end)
+    (dist -1 on failure), or None if the native lib is unavailable."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "cf_align_path_pairs"):
+        return None
+    n = len(queries)
+    if n != len(targets):
+        raise ValueError("queries/targets length mismatch")
+    if n == 0:
+        return []
+    qstride = max(1, max(int(len(q)) for q in queries))
+    tstride = max(1, max(int(len(t)) for t in targets))
+    qbuf = np.full((n, qstride), 4, dtype=np.int8)
+    tbuf = np.full((n, tstride), 4, dtype=np.int8)
+    qlens = np.empty(n, dtype=np.int32)
+    tlens = np.empty(n, dtype=np.int32)
+    for i, (q, t) in enumerate(zip(queries, targets)):
+        qa = np.ascontiguousarray(q, dtype=np.int8)
+        ta = np.ascontiguousarray(t, dtype=np.int8)
+        qbuf[i, :len(qa)] = qa
+        tbuf[i, :len(ta)] = ta
+        qlens[i] = len(qa)
+        tlens[i] = len(ta)
+    # a length-L run costs len(str(L)) + 1 <= 3*L bytes for L == 1 and
+    # strictly less per-base beyond; 4x the op bound is safely above
+    cigar_cap = 4 * (qstride + tstride) + 64
+    cigars = ctypes.create_string_buffer(n * cigar_cap)
+    dists = np.empty(n, dtype=np.int32)
+    t_starts = np.empty(n, dtype=np.int32)
+    t_ends = np.empty(n, dtype=np.int32)
+    lib.cf_align_path_pairs(
+        qbuf.ctypes.data, qlens.ctypes.data, qstride,
+        tbuf.ctypes.data, tlens.ctypes.data, tstride,
+        n, _MODES[mode], threads,
+        dists.ctypes.data, t_starts.ctypes.data, t_ends.ctypes.data,
+        cigars, cigar_cap)
+    raw = cigars.raw     # materialize the buffer ONCE (`.raw` copies)
+    out = []
+    for i in range(n):
+        cig = raw[i * cigar_cap:(i + 1) * cigar_cap].split(
+            b"\0", 1)[0].decode("ascii")
         out.append((int(dists[i]), cig, int(t_starts[i]),
                     int(t_ends[i])))
     return out

@@ -68,6 +68,19 @@ void cf_align_path_batch(const int8_t* queries, const int32_t* qlens,
                          int32_t* t_ends,
                          char* cigar_buf, int64_t cigar_cap);
 
+/* Batch alignment-with-traceback over independent (query, target) PAIRS:
+ * queries (n x qstride) and targets (n x tstride) padded row-major code
+ * matrices with true lengths qlens/tlens. Output layout identical to
+ * cf_align_path_batch. */
+void cf_align_path_pairs(const int8_t* queries, const int32_t* qlens,
+                         int64_t qstride,
+                         const int8_t* targets, const int32_t* tlens,
+                         int64_t tstride,
+                         int32_t n, int32_t mode, int32_t threads,
+                         int32_t* dists, int32_t* t_starts,
+                         int32_t* t_ends,
+                         char* cigar_buf, int64_t cigar_cap);
+
 /* ---- streaming sequence reader ------------------------------------ */
 
 typedef struct cf_reader cf_reader;

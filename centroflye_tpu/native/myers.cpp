@@ -539,3 +539,40 @@ extern "C" void cf_align_path_batch(const int8_t* queries,
   for (int32_t t = 0; t < threads; ++t) pool.emplace_back(work);
   for (auto& th : pool) th.join();
 }
+
+extern "C" void cf_align_path_pairs(const int8_t* queries,
+                                    const int32_t* qlens, int64_t qstride,
+                                    const int8_t* targets,
+                                    const int32_t* tlens, int64_t tstride,
+                                    int32_t n, int32_t mode,
+                                    int32_t threads, int32_t* dists,
+                                    int32_t* t_starts, int32_t* t_ends,
+                                    char* cigar_buf, int64_t cigar_cap) {
+  if (threads <= 0) {
+    threads = (int32_t)std::thread::hardware_concurrency();
+    if (threads <= 0) threads = 1;
+  }
+  if (threads > n) threads = n > 0 ? n : 1;
+  std::atomic<int32_t> next{0};
+  auto work = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int32_t ts = 0, te = 0;
+      int32_t d = cf_align_path(queries + (size_t)i * qstride, qlens[i],
+                                targets + (size_t)i * tstride, tlens[i],
+                                mode, cigar_buf + (size_t)i * cigar_cap,
+                                (int32_t)cigar_cap, &ts, &te);
+      dists[i] = d;
+      t_starts[i] = ts;
+      t_ends[i] = te;
+    }
+  };
+  if (threads == 1) {
+    work();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int32_t t = 0; t < threads; ++t) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+}

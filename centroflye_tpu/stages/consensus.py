@@ -130,6 +130,17 @@ def polish_round(template: str, reads: Sequence[str]) -> str:
     cigars = _batch_cigars(template, reads)
     if cigars is None:
         return _polish_round_aligned(template, reads)
+    return vote_from_cigars(template, cigars, reads)
+
+
+def vote_from_cigars(template: str, cigars: Sequence[str],
+                     reads: Sequence[str]) -> str:
+    """Majority rewrite of `template` from read-vs-template CIGARs that
+    each cover the full template ('I' = extra read char, 'D' = read
+    deletion). Callers holding template-vs-read alignments (e.g. the
+    final-polish HW anchors) transpose by swapping I<->D first — the
+    aligned pairs are identical, only the op labels flip."""
+    n = len(template)
     n_reads = len(reads)
 
     # run-length voting: '='/'D' runs as difference arrays, 'X'/'I' as

@@ -27,7 +27,7 @@ import os
 from typing import Dict, Optional, Sequence, Tuple
 
 from centroflye_tpu.ops.align_path import align_path
-from centroflye_tpu.stages.consensus import polish_round
+from centroflye_tpu.stages.consensus import polish_round, vote_from_cigars
 
 
 def _anchor_segment(template: str, read_seq: str, lo: int, hi: int,
@@ -43,6 +43,44 @@ def _anchor_segment(template: str, read_seq: str, lo: int, hi: int,
     if al.t_end <= al.t_start:
         return None
     return target[al.t_start:al.t_end]
+
+
+_TRANSPOSE = str.maketrans("ID", "DI")
+
+
+def _anchor_segments_batched(tasks, max_div: float):
+    """Run every (window, template, target) anchor alignment as ONE
+    threaded native pairs batch; returns {task_index: (segment,
+    read-vs-template cigar)} applying the same filters as
+    _anchor_segment. The HW cigar is template-vs-read; swapping I<->D
+    transposes it to the read-vs-template orientation the voting core
+    expects (the aligned pairs are identical). Falls back to the
+    per-pair host path when the native engine is unavailable."""
+    try:
+        from centroflye_tpu.native import native_align_path_pairs
+        from centroflye_tpu.io.encoding import encode
+    except ImportError:
+        native_align_path_pairs = None
+    res = None
+    if tasks and native_align_path_pairs is not None:
+        res = native_align_path_pairs(
+            [encode(tm) for (_, tm, _) in tasks],
+            [encode(tg) for (_, _, tg) in tasks], mode="HW")
+    out = {}
+    if res is not None and all(r[0] >= 0 for r in res):
+        for idx, ((_, template, target), (dist, cig, ts, te)) in enumerate(
+                zip(tasks, res)):
+            if dist > max_div * len(template) or te <= ts:
+                continue
+            out[idx] = (target[ts:te], cig.translate(_TRANSPOSE))
+        return out
+    for idx, (_, template, target) in enumerate(tasks):
+        al = align_path(template, target, mode="HW")
+        if al.dist > max_div * len(template) or al.t_end <= al.t_start:
+            continue
+        out[idx] = (target[al.t_start:al.t_end],
+                    al.cigar.translate(_TRANSPOSE))
+    return out
 
 
 def polish_assembly_with_reads(
@@ -80,10 +118,11 @@ def polish_assembly_with_reads(
             bounds.append((a, b))
             a = b
         margin = window // 3 + 64
-        pieces = []
-        for (a, b) in bounds:
+        # collect every (window, read) anchor task, run them as one
+        # threaded native pairs batch, then vote per window
+        tasks = []
+        for w, (a, b) in enumerate(bounds):
             template = cur[a:b]
-            segments = []
             for seq, fs, fe in read_spans:
                 s = fs * n
                 e = fe * n
@@ -94,13 +133,28 @@ def polish_assembly_with_reads(
                 # read-local coordinates of the window, with drift margin
                 lo = int(a - s) - margin
                 hi = int(b - s) + margin
-                seg = _anchor_segment(template, seq, lo, hi, max_div)
-                if seg is not None:
-                    segments.append(seg)
+                target = seq[max(0, lo):min(len(seq), hi)]
+                if len(target) < len(template) // 2:
+                    continue
+                tasks.append((w, template, target))
+        anchored = _anchor_segments_batched(tasks, max_div)
+        segs_by_window: Dict[int, list] = {}
+        for idx, seg_cig in anchored.items():
+            segs_by_window.setdefault(tasks[idx][0], []).append(seg_cig)
+        pieces = []
+        for w, (a, b) in enumerate(bounds):
+            template = cur[a:b]
+            pairs = segs_by_window.get(w, [])
             # below min_coverage a lone noisy read would simply replace
-            # the template wholesale — keep the template instead
-            pieces.append(polish_round(template, segments)
-                          if len(segments) >= min_coverage else template)
+            # the template wholesale — keep the template instead;
+            # voting reuses the anchor alignments directly (no NW
+            # re-alignment of segments the anchor pass already aligned)
+            if len(pairs) >= min_coverage:
+                pieces.append(vote_from_cigars(
+                    template, [c for _, c in pairs],
+                    [s for s, _ in pairs]))
+            else:
+                pieces.append(template)
         cur = "".join(pieces)
         out[it] = cur
     return out
