@@ -81,7 +81,7 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
                        *, m: int, seed_k: int, min_hits: int,
                        k_budget: int = 128, stride: int = 2,
                        use_pallas: bool | None = None,
-                       mesh=None):
+                       mesh=None, seed_bitmap_le: np.ndarray = None):
     """Returns fused(packed, n_mask, lens) -> (df, dr, hits, n_pass), all
     device-resident until the caller materializes. seed_bitmap: the
     direct-address membership bitmap (ops/seed_filter.build_seed_bitmap);
@@ -97,6 +97,82 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
     seed_bitmap = jnp.asarray(seed_bitmap)
     peq_fwd = jnp.asarray(peq_fwd)
     peq_rc = jnp.asarray(peq_rc)
+    # the packed-direct filter path extracts k-mers from u32 word pairs
+    # (32-bit window => k <= 16) at in-word offsets tiling evenly
+    packed_path_ok = (seed_bitmap_le is not None and seed_k <= 16
+                      and stride in (1, 2, 4))
+    if packed_path_ok:
+        seed_bitmap_le = jnp.asarray(seed_bitmap_le)
+
+    def _myers_top(sub_codes, sub_lens, L):
+        kb = sub_codes.shape[0]
+        if use_pallas:
+            from centroflye_tpu.ops.myers_pallas_v3 import (
+                myers_hw_pallas_v3_2strand, TILE_B)
+            kb_pad = -(-kb // TILE_B) * TILE_B
+            if kb_pad != kb:
+                sub_codes = jnp.concatenate(
+                    [sub_codes,
+                     jnp.zeros((kb_pad - kb, L), sub_codes.dtype)], axis=0)
+                sub_lens = jnp.concatenate(
+                    [sub_lens, jnp.zeros((kb_pad - kb,), sub_lens.dtype)])
+            both = myers_hw_pallas_v3_2strand(
+                peq_fwd, peq_rc, sub_codes.T,
+                sub_lens.reshape(-1, 1), m=m)
+            return both["dist_f"][:kb], both["dist_r"][:kb]
+        out_f = myers_distance_batch(peq_fwd, sub_codes, sub_lens,
+                                     m=m, mode="HW")
+        out_r = myers_distance_batch(peq_rc, sub_codes, sub_lens,
+                                     m=m, mode="HW")
+        return out_f["dist"][:kb], out_r["dist"][:kb]
+
+    def _fused_body_packed(packed, lens):
+        """No-N fast path: seed k-mer codes come straight from the 2-bit
+        packed bytes (a u32 window holds 16 bases, so every sampled
+        in-byte phase t has t + 13 <= 16), the survivor gather moves
+        packed rows (4x less traffic), and only the k_budget survivor
+        rows are ever unpacked. Bit-identical to the unpack path: the
+        sampled position set {0, stride, ...} maps exactly onto phases
+        range(0, 4, stride) of bytes 0..L/4-4, and the LE-keyed bitmap
+        holds the same membership set."""
+        B, Lq = packed.shape
+        L = Lq * 4
+        # bitcast bytes to u32 words of 16 bases (base 16w+j at bits 2j,
+        # little-endian); a window at in-word offset o spans W[w] and
+        # W[w+1] with SCALAR shift amounts per unrolled offset — no
+        # misaligned byte slices in the minor dim (those cost ~40ms/batch
+        # as lane shuffles)
+        W = jax.lax.bitcast_convert_type(
+            packed.reshape(B, Lq // 4, 4), jnp.uint32)
+        Wn = jnp.pad(W[:, 1:], ((0, 0), (0, 1)))      # next word, 0-padded
+        nw = Lq // 4
+        mask = jnp.uint32((1 << (2 * seed_k)) - 1)
+        pos16 = 16 * jnp.arange(nw, dtype=jnp.int32)[None, :]
+        hits = jnp.zeros((B,), jnp.int32)
+        for o in range(0, 16, stride):
+            code = (W >> jnp.uint32(2 * o))
+            if o > 0:
+                code = code | (Wn << jnp.uint32(32 - 2 * o))
+            code = code & mask
+            valid = (pos16 + (o + seed_k)) <= lens[:, None]
+            word = jnp.where(valid, (code >> jnp.uint32(5)).astype(
+                jnp.int32), 0)
+            got = seed_bitmap_le[word.ravel()].reshape(word.shape)
+            found = (((got >> (code & jnp.uint32(31))) & 1) == 1) & valid
+            hits += jnp.sum(found.astype(jnp.int32), axis=1)
+        fail = hits < min_hits
+        order = jnp.argsort(fail, stable=True)          # passing rows first
+        kb = min(k_budget, B)
+        top = order[:kb]
+        sub_codes = _unpack_nomask_rows(packed[top])    # unpack kb rows only
+        sub_lens = lens[top]
+        dist_f, dist_r = _myers_top(sub_codes, sub_lens, L)
+        sentinel = jnp.full((B,), m, jnp.int32)
+        sub_ok = ~fail[top]
+        df = sentinel.at[top].set(jnp.where(sub_ok, dist_f, m))
+        dr = sentinel.at[top].set(jnp.where(sub_ok, dist_r, m))
+        n_pass = jnp.sum((~fail).astype(jnp.int32))
+        return jnp.concatenate([df, dr, hits, n_pass.reshape(1)])
 
     def _fused_body(codes, lens):
         from centroflye_tpu.ops.seed_filter import seed_hit_counts_bitmap
@@ -109,34 +185,11 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         top = order[:kb]
         sub_codes = codes[top]
         sub_lens = lens[top]
-        if use_pallas:
-            from centroflye_tpu.ops.myers_pallas_v3 import (
-                myers_hw_pallas_v3_2strand, TILE_B)
-            # the Pallas kernel tiles reads in TILE_B lanes; pad survivor
-            # rows (zero length -> never active) up to a tile multiple
-            kb_pad = -(-kb // TILE_B) * TILE_B
-            if kb_pad != kb:
-                sub_codes = jnp.concatenate(
-                    [sub_codes,
-                     jnp.zeros((kb_pad - kb, L), sub_codes.dtype)], axis=0)
-                sub_lens = jnp.concatenate(
-                    [sub_lens, jnp.zeros((kb_pad - kb,), sub_lens.dtype)])
-            both = myers_hw_pallas_v3_2strand(
-                peq_fwd, peq_rc, sub_codes.T,
-                sub_lens.reshape(-1, 1), m=m)
-            out_f = {"dist": both["dist_f"]}
-            out_r = {"dist": both["dist_r"]}
-        else:
-            out_f = myers_distance_batch(peq_fwd, sub_codes, sub_lens,
-                                         m=m, mode="HW")
-            out_r = myers_distance_batch(peq_rc, sub_codes, sub_lens,
-                                         m=m, mode="HW")
+        dist_f, dist_r = _myers_top(sub_codes, sub_lens, L)
         sentinel = jnp.full((B,), m, jnp.int32)
         sub_ok = ~fail[top]
-        df = sentinel.at[top].set(
-            jnp.where(sub_ok, out_f["dist"][:kb], m))
-        dr = sentinel.at[top].set(
-            jnp.where(sub_ok, out_r["dist"][:kb], m))
+        df = sentinel.at[top].set(jnp.where(sub_ok, dist_f, m))
+        dr = sentinel.at[top].set(jnp.where(sub_ok, dist_r, m))
         n_pass = jnp.sum((~fail).astype(jnp.int32))
         # ONE bundled output array -> one device->host transfer
         return jnp.concatenate(
@@ -150,6 +203,8 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         parts = [((packed >> (2 * i)) & 3).astype(jnp.int8)
                  for i in range(4)]
         return jnp.stack(parts, axis=-1).reshape(B, Lq * 4)
+
+    _unpack_nomask_rows = _unpack_nomask
 
     n_dev = 1
     if mesh is not None and mesh.devices.size > 1:
@@ -166,6 +221,8 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
             return _fused_body(_unpack_2bit(packed, n_mask), lens)
 
         def _body_nomask(packed, lens):
+            if packed_path_ok:
+                return _fused_body_packed(packed, lens)
             return _fused_body(_unpack_nomask(packed), lens)
 
         axis = mesh.axis_names[0]
@@ -184,6 +241,8 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
 
         @jax.jit
         def fused_nomask(packed, lens):
+            if packed_path_ok:
+                return _fused_body_packed(packed, lens)
             return _fused_body(_unpack_nomask(packed), lens)
 
     def fused_raw(packed, n_mask, lens):

@@ -50,18 +50,32 @@ def build_seed_table(unit: str, k: int = 13) -> Tuple[np.ndarray,
     return split_u64(table)
 
 
-def build_seed_bitmap(unit: str, k: int = 13) -> np.ndarray:
+def build_seed_bitmap(unit: str, k: int = 13, *, le: bool = False
+                      ) -> np.ndarray:
     """Direct-address membership bitmap over all 4^k k-mers (k <= 15:
     4^13 = 8 MB of bits as uint32[4^k / 32]) — one gather per query
     position instead of a log(n) binary-search gather chain, which is the
-    difference between ~50M and ~500M+ filter positions/s on TPU."""
+    difference between ~50M and ~500M+ filter positions/s on TPU.
+
+    le=True keys the bitmap by LITTLE-endian codes (first base in the low
+    2 bits) — the natural order of k-mers extracted straight from 2-bit
+    packed bytes (ops/fused_recruit packed filter path)."""
     assert k <= 15, "direct-address bitmap needs k <= 15"
     seqs = [unit + unit[:k - 1], revcomp_str(unit + unit[:k - 1])]
     bitmap = np.zeros(4 ** k // 32, dtype=np.uint32)
     for s in seqs:
         c, valid = kmer_codes(encode(s), k)
         c = c[valid].astype(np.uint64)
-        bitmap[(c >> np.uint64(5)).astype(np.int64)] |= (
+        if le:
+            r = np.zeros_like(c)
+            for i in range(k):
+                r |= (((c >> np.uint64(2 * i)) & np.uint64(3))
+                      << np.uint64(2 * (k - 1 - i)))
+            c = r
+        # collision-safe scatter-OR: fancy-index `|=` is last-write-wins
+        # on duplicate word indices and silently drops bits
+        np.bitwise_or.at(
+            bitmap, (c >> np.uint64(5)).astype(np.int64),
             np.uint32(1) << (c & np.uint64(31)).astype(np.uint32))
     return bitmap
 

@@ -99,7 +99,9 @@ class RecruitmentEngine:
                 m=self.m, seed_k=self.config.seed_k,
                 min_hits=self.config.min_seed_hits,
                 k_budget=self.k_budget, use_pallas=self.use_pallas,
-                mesh=mesh)
+                mesh=mesh,
+                seed_bitmap_le=build_seed_bitmap(
+                    unit, k=self.config.seed_k, le=True))
 
     # -- pure device steps (also used by __graft_entry__) -----------------
 

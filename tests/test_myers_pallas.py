@@ -42,6 +42,7 @@ def test_pallas_matches_oracle(m, rng, make_dna):
         assert end[i] == oend, (m, i)
 
 
+@pytest.mark.slow
 def test_pallas_matches_scan_kernel(rng, make_dna):
     q = make_dna(150)
     texts = [make_dna(int(rng.integers(100, 500))) for _ in range(16)]
@@ -53,6 +54,7 @@ def test_pallas_matches_scan_kernel(rng, make_dna):
     assert np.array_equal(end, np.asarray(ref["end"]))
 
 
+@pytest.mark.slow
 def test_pallas_recruit_distances(make_dna, rng):
     from centroflye_tpu.ops.myers_pallas import recruit_distances_pallas
     from centroflye_tpu.io.encoding import revcomp, encode as enc
@@ -73,6 +75,7 @@ def test_pallas_recruit_distances(make_dna, rng):
     assert df[0] == dr[1]  # strand symmetry
 
 
+@pytest.mark.slow
 def test_pallas_v2_matches_v1(rng, make_dna):
     import jax.numpy as jnp
     from centroflye_tpu.ops import myers_pallas as mp
@@ -93,6 +96,7 @@ def test_pallas_v2_matches_v1(rng, make_dna):
     assert np.array_equal(np.asarray(o1["end"]), np.asarray(o2["end"]))
 
 
+@pytest.mark.slow
 def test_pallas_v3_matches_v2(rng, make_dna):
     import jax.numpy as jnp
     from centroflye_tpu.ops import myers_pallas as mp

@@ -3,6 +3,7 @@
 loop overhead between strands)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from centroflye_tpu.io import encode, encode_batch
@@ -11,6 +12,7 @@ from centroflye_tpu.ops.myers import build_peq, edit_distance_oracle
 from centroflye_tpu.ops.myers_pallas_v3 import myers_hw_pallas_v3_2strand
 
 
+@pytest.mark.slow
 def test_2strand_matches_oracle():
     rng = np.random.default_rng(4)
     q = "".join("ACGT"[i] for i in rng.integers(0, 4, 90))
@@ -32,6 +34,7 @@ def test_2strand_matches_oracle():
         assert int(out["end_r"][i]) == oer, i
 
 
+@pytest.mark.slow
 def test_2strand_with_n_bases_and_empty_rows():
     rng = np.random.default_rng(9)
     q = "".join("ACGT"[i] for i in rng.integers(0, 4, 64))

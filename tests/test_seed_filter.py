@@ -149,3 +149,62 @@ def test_pack_nomask_when_pad_only_beyond_lens(rng):
     codes2[0, 5] = 4
     _, n_mask2 = pack_2bit(codes2, lens)
     assert n_mask2 is not None
+
+
+def test_bitmap_scatter_no_bit_loss():
+    """np.bitwise_or.at is collision-safe: every distinct seed k-mer of
+    the unit (both strands, instance-crossing included) must have its bit
+    set — fancy-index `|=` silently drops bits when two codes share a
+    bitmap word (263 of DXZ1's 3670 seed bits were lost that way)."""
+    from centroflye_tpu.io.encoding import kmer_codes, encode as enc
+    from centroflye_tpu.io import read_seq
+    import os
+    unit = read_seq(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "centroflye_tpu", "data", "DXZ1_rc.fasta"))
+    k = 13
+    bm = build_seed_bitmap(unit, k=k)
+    for s in (unit + unit[:k - 1], revcomp_str(unit + unit[:k - 1])):
+        c, valid = kmer_codes(enc(s), k)
+        c = c[valid].astype(np.uint64)
+        assert bool(np.all(
+            (bm[(c >> np.uint64(5)).astype(np.int64)]
+             >> (c & np.uint64(31)).astype(np.uint32)) & 1))
+
+
+@pytest.mark.parametrize("stride", [1, 2, 4])
+def test_fused_packed_filter_matches_unpack_path(rng, stride):
+    """The packed-direct filter (LE bitmap, u32-word k-mer extraction,
+    packed survivor gather) must produce a bundle bit-identical to the
+    unpack path on no-N batches — same sampled positions, same hits,
+    same survivor order, same distances."""
+    import jax.numpy as jnp
+    from centroflye_tpu.io import read_seq, encode as enc2
+    from centroflye_tpu.io.encoding import revcomp
+    import os
+    unit = read_seq(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "centroflye_tpu", "data", "DXZ1_rc.fasta"))
+    m = len(unit)
+    uc = encode(unit)
+    peq_f = build_peq(uc)
+    peq_r = build_peq(revcomp(uc))
+    bm = build_seed_bitmap(unit, k=13)
+    bm_le = build_seed_bitmap(unit, k=13, le=True)
+    B, L = 32, 1024
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    codes[3, 50:50 + 800] = encode(unit)[:800]
+    lens = rng.integers(500, L + 1, size=B).astype(np.int32)
+    lens[0] = 0
+    lens[1] = 13
+    old = make_fused_recruit(bm, peq_f, peq_r, m=m, seed_k=13,
+                             min_hits=8, k_budget=8, stride=stride,
+                             use_pallas=False)
+    new = make_fused_recruit(bm, peq_f, peq_r, m=m, seed_k=13,
+                             min_hits=8, k_budget=8, stride=stride,
+                             use_pallas=False, seed_bitmap_le=bm_le)
+    packed, n_mask = pack_2bit(codes, lens)
+    assert n_mask is None
+    a = np.asarray(old.raw(packed, None, jnp.asarray(lens)))
+    b = np.asarray(new.raw(packed, None, jnp.asarray(lens)))
+    assert np.array_equal(a, b)
