@@ -59,7 +59,7 @@ def main():
     # seg_len matched to the read length (multiple of 8): segments carry
     # no dead padding columns through the kernels
     engine = RecruitmentEngine(
-        unit, RecruitmentConfig(threshold=350, batch_size=1024),
+        unit, RecruitmentConfig(threshold=350, batch_size=2048),
         seg_len=10240)
 
     # warmup on a slice (compile both tiers)

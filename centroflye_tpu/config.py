@@ -26,7 +26,10 @@ class RecruitmentConfig:
     # 350 for DXZ1/cenX (default), 550 for D6Z1/cen6.
     threshold: int = 350
     # Device batch: reads per kernel launch (padded to this many rows).
-    batch_size: int = 256
+    # Bigger batches amortize per-call dispatch overhead; 2048 measured
+    # fastest e2e on the single-chip dev setup (7.5k -> 10.8k reads/s vs
+    # 1024 at the bench workload).
+    batch_size: int = 2048
     # Reads longer than this are scanned in chunks with (unit+threshold)-sized
     # overlap so an instance spanning a boundary is not missed.
     max_read_len: int = 131072
