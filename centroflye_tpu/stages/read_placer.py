@@ -8,9 +8,11 @@ subject to score[0] >= min_unit, score[1] >= min_inters and
 score[1] >= min_prop * score[0] — with scores maintained incrementally so
 each iteration only processes the k-mers that just became frequent.
 
-The scoring inner loop (99% of the work at scale) is replaced by the device
-scorer in ops/scoring.py when `use_device=True`; the greedy argmax itself is
-inherently sequential and stays exact. Output is the same
+The scoring inner loop (99% of the work at scale) runs through the array
+engine stages/placement_fast.FastPlacer (device bulk scoring via
+ops/scoring + incremental per-row best caches) by default; the greedy
+argmax itself is inherently sequential and stays exact, and
+`use_fast=False` keeps the dict/Counter transcription as the debug oracle. Output is the same
 read_positions.csv artifact ("r_id pos [score0 score1]" / "r_id None").
 """
 
