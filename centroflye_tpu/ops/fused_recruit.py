@@ -81,7 +81,8 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
                        *, m: int, seed_k: int, min_hits: int,
                        k_budget: int = 128, stride: int = 2,
                        use_pallas: bool | None = None,
-                       mesh=None, seed_bitmap_le: np.ndarray = None):
+                       mesh=None, seed_bitmap_le: np.ndarray = None,
+                       two_stage: bool = False, cand_budget: int = 256):
     """Returns fused(packed, n_mask, lens) -> (df, dr, hits, n_pass), all
     device-resident until the caller materializes. seed_bitmap: the
     direct-address membership bitmap (ops/seed_filter.build_seed_bitmap);
@@ -89,7 +90,22 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
     stride-1 (all-positions) units and scaled down here so the sampled
     filter keeps the config's intended strictness — the reference computes
     exact distances on every read (rr.cpp:74-87), so the prefilter must
-    only drop reads that are clearly non-centromeric."""
+    only drop reads that are clearly non-centromeric.
+
+    two_stage=True (requires the packed-direct path) splits the filter:
+    stage A samples ONE in-word phase (stride 16, threshold >= 1 hit) over
+    every row — 1/16 of the bitmap gathers — and compacts candidate rows;
+    the exact stride-`stride` filter (stage B) then runs only on the first
+    `cand_budget` candidates. The bitmap gather is the fused step's
+    dominant cost (~70% at DXZ1 scale), and candidates are rare (~2%
+    centromeric + ~3% stage-A false positives on random sequence), so the
+    filter cost drops ~4x. A read at the recruitment boundary (a unit
+    window at <= 17% divergence) carries ~180 clean seed 13-mers => ~11
+    expected stage-A samples; P[stage A misses it] ~ e^-11. The bundle
+    grows to [df, dr, hits, hits_a, n_pass, n_cand]: hits are exact
+    stage-B counts for candidate rows (0 elsewhere), hits_a the stage-A
+    counts for every row so the host can route overflow batches
+    (n_cand > cand_budget) to the exact Myers tier."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     min_hits = max(1, min_hits // stride)
@@ -103,6 +119,7 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
                       and stride in (1, 2, 4))
     if packed_path_ok:
         seed_bitmap_le = jnp.asarray(seed_bitmap_le)
+    two_stage = two_stage and packed_path_ok
 
     def _myers_top(sub_codes, sub_lens, L):
         kb = sub_codes.shape[0]
@@ -126,6 +143,30 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
                                      m=m, mode="HW")
         return out_f["dist"][:kb], out_r["dist"][:kb]
 
+    def _packed_hits(W, Wn, lens, offsets):
+        """Packed-direct hit counts over sampled in-word phases `offsets`:
+        W/Wn are (R, nw) u32 words of 16 bases each (base 16w+j at bits
+        2j, little-endian); a window at in-word offset o spans W[w] and
+        W[w+1] with SCALAR shift amounts per unrolled offset — no
+        misaligned byte slices in the minor dim (those cost ~40ms/batch
+        as lane shuffles)."""
+        nw = W.shape[1]
+        mask = jnp.uint32((1 << (2 * seed_k)) - 1)
+        pos16 = 16 * jnp.arange(nw, dtype=jnp.int32)[None, :]
+        hits = jnp.zeros((W.shape[0],), jnp.int32)
+        for o in offsets:
+            code = (W >> jnp.uint32(2 * o))
+            if o > 0:
+                code = code | (Wn << jnp.uint32(32 - 2 * o))
+            code = code & mask
+            valid = (pos16 + (o + seed_k)) <= lens[:, None]
+            word = jnp.where(valid, (code >> jnp.uint32(5)).astype(
+                jnp.int32), 0)
+            got = seed_bitmap_le[word.ravel()].reshape(word.shape)
+            found = (((got >> (code & jnp.uint32(31))) & 1) == 1) & valid
+            hits += jnp.sum(found.astype(jnp.int32), axis=1)
+        return hits
+
     def _fused_body_packed(packed, lens):
         """No-N fast path: seed k-mer codes come straight from the 2-bit
         packed bytes (a u32 window holds 16 bases, so every sampled
@@ -137,29 +178,10 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         holds the same membership set."""
         B, Lq = packed.shape
         L = Lq * 4
-        # bitcast bytes to u32 words of 16 bases (base 16w+j at bits 2j,
-        # little-endian); a window at in-word offset o spans W[w] and
-        # W[w+1] with SCALAR shift amounts per unrolled offset — no
-        # misaligned byte slices in the minor dim (those cost ~40ms/batch
-        # as lane shuffles)
         W = jax.lax.bitcast_convert_type(
             packed.reshape(B, Lq // 4, 4), jnp.uint32)
         Wn = jnp.pad(W[:, 1:], ((0, 0), (0, 1)))      # next word, 0-padded
-        nw = Lq // 4
-        mask = jnp.uint32((1 << (2 * seed_k)) - 1)
-        pos16 = 16 * jnp.arange(nw, dtype=jnp.int32)[None, :]
-        hits = jnp.zeros((B,), jnp.int32)
-        for o in range(0, 16, stride):
-            code = (W >> jnp.uint32(2 * o))
-            if o > 0:
-                code = code | (Wn << jnp.uint32(32 - 2 * o))
-            code = code & mask
-            valid = (pos16 + (o + seed_k)) <= lens[:, None]
-            word = jnp.where(valid, (code >> jnp.uint32(5)).astype(
-                jnp.int32), 0)
-            got = seed_bitmap_le[word.ravel()].reshape(word.shape)
-            found = (((got >> (code & jnp.uint32(31))) & 1) == 1) & valid
-            hits += jnp.sum(found.astype(jnp.int32), axis=1)
+        hits = _packed_hits(W, Wn, lens, range(0, 16, stride))
         fail = hits < min_hits
         order = jnp.argsort(fail, stable=True)          # passing rows first
         kb = min(k_budget, B)
@@ -173,6 +195,47 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         dr = sentinel.at[top].set(jnp.where(sub_ok, dist_r, m))
         n_pass = jnp.sum((~fail).astype(jnp.int32))
         return jnp.concatenate([df, dr, hits, n_pass.reshape(1)])
+
+    def _fused_body_packed_2stage(packed, lens):
+        """Two-stage packed filter (see make_fused_recruit docstring):
+        stage A = one in-word phase over all rows, stage B = the exact
+        stride-`stride` filter on compacted candidate rows only. For any
+        row that is a stage-A candidate, df/dr/hits are identical to the
+        single-stage packed path."""
+        B, Lq = packed.shape
+        L = Lq * 4
+        W = jax.lax.bitcast_convert_type(
+            packed.reshape(B, Lq // 4, 4), jnp.uint32)
+        Wn = jnp.pad(W[:, 1:], ((0, 0), (0, 1)))
+        # stage A: phase 0 of every u32 word = positions 0, 16, 32, ...
+        hits_a = _packed_hits(W, Wn, lens, (0,))
+        fail_a = hits_a < 1
+        C = min(cand_budget, B)
+        order_a = jnp.argsort(fail_a, stable=True)    # candidates first
+        top_a = order_a[:C]
+        is_cand = ~fail_a[top_a]
+        # stage B: exact sampled filter on the candidate rows
+        Wc = W[top_a]
+        Wnc = jnp.pad(Wc[:, 1:], ((0, 0), (0, 1)))
+        hits_b = _packed_hits(Wc, Wnc, lens[top_a], range(0, 16, stride))
+        fail_b = (hits_b < min_hits) | ~is_cand
+        # Myers on stage-B survivors
+        kb = min(k_budget, C)
+        order_b = jnp.argsort(fail_b, stable=True)
+        top_b = order_b[:kb]
+        top = top_a[top_b]
+        sub_codes = _unpack_nomask_rows(packed[top])
+        dist_f, dist_r = _myers_top(sub_codes, lens[top], L)
+        sentinel = jnp.full((B,), m, jnp.int32)
+        sub_ok = ~fail_b[top_b]
+        df = sentinel.at[top].set(jnp.where(sub_ok, dist_f, m))
+        dr = sentinel.at[top].set(jnp.where(sub_ok, dist_r, m))
+        hits_full = jnp.zeros((B,), jnp.int32).at[top_a].set(
+            jnp.where(is_cand, hits_b, 0))
+        n_pass = jnp.sum((~fail_b).astype(jnp.int32))
+        n_cand = jnp.sum((~fail_a).astype(jnp.int32))
+        return jnp.concatenate([df, dr, hits_full, hits_a,
+                                n_pass.reshape(1), n_cand.reshape(1)])
 
     def _fused_body(codes, lens):
         from centroflye_tpu.ops.seed_filter import seed_hit_counts_bitmap
@@ -206,6 +269,14 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
 
     _unpack_nomask_rows = _unpack_nomask
 
+    def _adapt_two_stage(out, B):
+        """Masked batches can't use the packed-direct filter; re-emit the
+        single-stage bundle in the two-stage layout with exact hits
+        duplicated as hits_a and n_cand = 0 (never host-overflows)."""
+        return jnp.concatenate([
+            out[:3 * B], out[2 * B:3 * B], out[3 * B:3 * B + 1],
+            jnp.zeros((1,), out.dtype)])
+
     n_dev = 1
     if mesh is not None and mesh.devices.size > 1:
         # multi-chip: shard batch rows over the mesh data axis — the
@@ -218,9 +289,14 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         n_dev = int(mesh.devices.size)
 
         def _body_masked(packed, n_mask, lens):
-            return _fused_body(_unpack_2bit(packed, n_mask), lens)
+            out = _fused_body(_unpack_2bit(packed, n_mask), lens)
+            if two_stage:
+                out = _adapt_two_stage(out, lens.shape[0])
+            return out
 
         def _body_nomask(packed, lens):
+            if two_stage:
+                return _fused_body_packed_2stage(packed, lens)
             if packed_path_ok:
                 return _fused_body_packed(packed, lens)
             return _fused_body(_unpack_nomask(packed), lens)
@@ -237,10 +313,15 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
     else:
         @jax.jit
         def fused_masked(packed, n_mask, lens):
-            return _fused_body(_unpack_2bit(packed, n_mask), lens)
+            out = _fused_body(_unpack_2bit(packed, n_mask), lens)
+            if two_stage:
+                out = _adapt_two_stage(out, lens.shape[0])
+            return out
 
         @jax.jit
         def fused_nomask(packed, lens):
+            if two_stage:
+                return _fused_body_packed_2stage(packed, lens)
             if packed_path_ok:
                 return _fused_body_packed(packed, lens)
             return _fused_body(_unpack_nomask(packed), lens)
@@ -254,17 +335,20 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         return fused_masked(packed, n_mask, lens)
 
     def unbundle(out: np.ndarray, B: int):
-        if n_dev == 1:
-            return out[:B], out[B:2 * B], out[2 * B:3 * B], int(out[-1])
-        # shard-blocked: each device contributed [df, dr, hits, n_pass]
-        # for its B/n_dev rows
+        """Single-stage: (df, dr, hits, n_pass). Two-stage mode adds
+        (..., hits_a, n_pass, n_cand); sharded n_pass/n_cand are the max
+        over the per-shard blocks (host overflow rules are per shard)."""
         blocks = out.reshape(n_dev, -1)
         Bs = B // n_dev
         df = blocks[:, :Bs].reshape(B)
         dr = blocks[:, Bs:2 * Bs].reshape(B)
         hits = blocks[:, 2 * Bs:3 * Bs].reshape(B)
-        n_pass = int(blocks[:, -1].max())
-        return df, dr, hits, n_pass
+        if not two_stage:
+            return df, dr, hits, int(blocks[:, 3 * Bs].max())
+        hits_a = blocks[:, 3 * Bs:4 * Bs].reshape(B)
+        n_pass = int(blocks[:, 4 * Bs].max())
+        n_cand = int(blocks[:, 4 * Bs + 1].max())
+        return df, dr, hits, hits_a, n_pass, n_cand
 
     def fused_unbundled(packed, n_mask, lens):
         out = np.asarray(fused_raw(packed, n_mask, lens))
@@ -274,4 +358,7 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
     fused_unbundled.unbundle = unbundle
     fused_unbundled.min_hits = min_hits      # in sampled-position units
     fused_unbundled.stride = stride
+    fused_unbundled.two_stage = two_stage
+    fused_unbundled.cand_budget = cand_budget   # per shard
+    fused_unbundled.n_dev = n_dev
     return fused_unbundled

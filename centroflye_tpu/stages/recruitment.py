@@ -99,9 +99,12 @@ class RecruitmentEngine:
                 m=self.m, seed_k=self.config.seed_k,
                 min_hits=self.config.min_seed_hits,
                 k_budget=self.k_budget, use_pallas=self.use_pallas,
-                mesh=mesh,
+                mesh=mesh, two_stage=True,
                 seed_bitmap_le=build_seed_bitmap(
                     unit, k=self.config.seed_k, le=True))
+            # per-shard candidate budget for the two-stage overflow rule
+            self._cand_budget = min(self._fused.cand_budget,
+                                    self.batch // n_dev)
 
     # -- pure device steps (also used by __graft_entry__) -----------------
 
@@ -234,10 +237,27 @@ class RecruitmentEngine:
         def drain_filter_one():
             """Materialize the oldest fused bundle; overflow beyond the
             device survivor budget falls back to the plain Myers tier
-            (codes were kept with the queue entry for exactly this)."""
+            (codes were kept with the queue entry for exactly this).
+            Two-stage bundles carry a second overflow rule: when a shard
+            saw more stage-A candidates than its stage-B budget, every
+            stage-A candidate goes to the exact Myers tier (strictly more
+            accurate than the filter it replaces)."""
             bundle, rows_map, codes_snap, lens_snap = f_inflight.pop(0)
-            df, dr, hits, n_pass = self._fused.unbundle(
+            res = self._fused.unbundle(
                 np.asarray(bundle), lens_snap.shape[0])
+            if self._fused.two_stage:
+                df, dr, hits, hits_a, n_pass, n_cand = res
+                if n_cand > self._cand_budget:
+                    for row, ridx in enumerate(rows_map):
+                        if int(hits_a[row]) >= 1:
+                            enqueue_myers(codes_snap[row],
+                                          int(lens_snap[row]), ridx)
+                        else:
+                            resolve(ridx, self.m, self.m)
+                    free_bufs.append((codes_snap, lens_snap))
+                    return
+            else:
+                df, dr, hits, n_pass = res
             if n_pass <= self.k_budget:
                 for row, ridx in enumerate(rows_map):
                     resolve(ridx, int(df[row]), int(dr[row]))
