@@ -27,6 +27,17 @@ from centroflye_tpu.ops.kmers import pack_kmers, lookup_codes
 from centroflye_tpu.ops.myers import myers_distance_batch
 
 
+def unpack_2bit_host(packed: np.ndarray) -> np.ndarray:
+    """Host (numpy) inverse of pack_2bit for N-free rows: (B, L/4) uint8
+    -> (B, L) int8 base codes. Used on the rare overflow path where
+    candidate rows must re-enter the plain Myers tier as codes."""
+    B, Lq = packed.shape
+    out = np.empty((B, Lq * 4), np.int8)
+    for i in range(4):
+        out[:, i::4] = (packed >> (2 * i)) & 3
+    return out
+
+
 def pack_2bit(codes: np.ndarray, lens: Optional[np.ndarray] = None,
               ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """(B, L) int8 base codes -> (packed (B, L/4) uint8, n_mask (B, L/8)
@@ -81,8 +92,7 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
                        *, m: int, seed_k: int, min_hits: int,
                        k_budget: int = 128, stride: int = 2,
                        use_pallas: bool | None = None,
-                       mesh=None, seed_bitmap_le: np.ndarray = None,
-                       two_stage: bool = False, cand_budget: int = 256):
+                       mesh=None, seed_bitmap_le: np.ndarray = None):
     """Returns fused(packed, n_mask, lens) -> (df, dr, hits, n_pass), all
     device-resident until the caller materializes. seed_bitmap: the
     direct-address membership bitmap (ops/seed_filter.build_seed_bitmap);
@@ -90,22 +100,10 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
     stride-1 (all-positions) units and scaled down here so the sampled
     filter keeps the config's intended strictness — the reference computes
     exact distances on every read (rr.cpp:74-87), so the prefilter must
-    only drop reads that are clearly non-centromeric.
-
-    two_stage=True (requires the packed-direct path) splits the filter:
-    stage A samples ONE in-word phase (stride 16, threshold >= 1 hit) over
-    every row — 1/16 of the bitmap gathers — and compacts candidate rows;
-    the exact stride-`stride` filter (stage B) then runs only on the first
-    `cand_budget` candidates. The bitmap gather is the fused step's
-    dominant cost (~70% at DXZ1 scale), and candidates are rare (~2%
-    centromeric + ~3% stage-A false positives on random sequence), so the
-    filter cost drops ~4x. A read at the recruitment boundary (a unit
-    window at <= 17% divergence) carries ~180 clean seed 13-mers => ~11
-    expected stage-A samples; P[stage A misses it] ~ e^-11. The bundle
-    grows to [df, dr, hits, hits_a, n_pass, n_cand]: hits are exact
-    stage-B counts for candidate rows (0 elsewhere), hits_a the stage-A
-    counts for every row so the host can route overflow batches
-    (n_cand > cand_budget) to the exact Myers tier."""
+    only drop reads that are clearly non-centromeric. The production
+    engine feeds this step only rows that already passed the HOST stage-A
+    prescan (ops/seed_filter.host_prescan_hits) — non-candidate rows never
+    cross the host→device link at all."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     min_hits = max(1, min_hits // stride)
@@ -119,7 +117,6 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
                       and stride in (1, 2, 4))
     if packed_path_ok:
         seed_bitmap_le = jnp.asarray(seed_bitmap_le)
-    two_stage = two_stage and packed_path_ok
 
     def _myers_top(sub_codes, sub_lens, L):
         kb = sub_codes.shape[0]
@@ -196,47 +193,6 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         n_pass = jnp.sum((~fail).astype(jnp.int32))
         return jnp.concatenate([df, dr, hits, n_pass.reshape(1)])
 
-    def _fused_body_packed_2stage(packed, lens):
-        """Two-stage packed filter (see make_fused_recruit docstring):
-        stage A = one in-word phase over all rows, stage B = the exact
-        stride-`stride` filter on compacted candidate rows only. For any
-        row that is a stage-A candidate, df/dr/hits are identical to the
-        single-stage packed path."""
-        B, Lq = packed.shape
-        L = Lq * 4
-        W = jax.lax.bitcast_convert_type(
-            packed.reshape(B, Lq // 4, 4), jnp.uint32)
-        Wn = jnp.pad(W[:, 1:], ((0, 0), (0, 1)))
-        # stage A: phase 0 of every u32 word = positions 0, 16, 32, ...
-        hits_a = _packed_hits(W, Wn, lens, (0,))
-        fail_a = hits_a < 1
-        C = min(cand_budget, B)
-        order_a = jnp.argsort(fail_a, stable=True)    # candidates first
-        top_a = order_a[:C]
-        is_cand = ~fail_a[top_a]
-        # stage B: exact sampled filter on the candidate rows
-        Wc = W[top_a]
-        Wnc = jnp.pad(Wc[:, 1:], ((0, 0), (0, 1)))
-        hits_b = _packed_hits(Wc, Wnc, lens[top_a], range(0, 16, stride))
-        fail_b = (hits_b < min_hits) | ~is_cand
-        # Myers on stage-B survivors
-        kb = min(k_budget, C)
-        order_b = jnp.argsort(fail_b, stable=True)
-        top_b = order_b[:kb]
-        top = top_a[top_b]
-        sub_codes = _unpack_nomask_rows(packed[top])
-        dist_f, dist_r = _myers_top(sub_codes, lens[top], L)
-        sentinel = jnp.full((B,), m, jnp.int32)
-        sub_ok = ~fail_b[top_b]
-        df = sentinel.at[top].set(jnp.where(sub_ok, dist_f, m))
-        dr = sentinel.at[top].set(jnp.where(sub_ok, dist_r, m))
-        hits_full = jnp.zeros((B,), jnp.int32).at[top_a].set(
-            jnp.where(is_cand, hits_b, 0))
-        n_pass = jnp.sum((~fail_b).astype(jnp.int32))
-        n_cand = jnp.sum((~fail_a).astype(jnp.int32))
-        return jnp.concatenate([df, dr, hits_full, hits_a,
-                                n_pass.reshape(1), n_cand.reshape(1)])
-
     def _fused_body(codes, lens):
         from centroflye_tpu.ops.seed_filter import seed_hit_counts_bitmap
         B, L = codes.shape
@@ -269,14 +225,6 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
 
     _unpack_nomask_rows = _unpack_nomask
 
-    def _adapt_two_stage(out, B):
-        """Masked batches can't use the packed-direct filter; re-emit the
-        single-stage bundle in the two-stage layout with exact hits
-        duplicated as hits_a and n_cand = 0 (never host-overflows)."""
-        return jnp.concatenate([
-            out[:3 * B], out[2 * B:3 * B], out[3 * B:3 * B + 1],
-            jnp.zeros((1,), out.dtype)])
-
     n_dev = 1
     if mesh is not None and mesh.devices.size > 1:
         # multi-chip: shard batch rows over the mesh data axis — the
@@ -289,14 +237,9 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         n_dev = int(mesh.devices.size)
 
         def _body_masked(packed, n_mask, lens):
-            out = _fused_body(_unpack_2bit(packed, n_mask), lens)
-            if two_stage:
-                out = _adapt_two_stage(out, lens.shape[0])
-            return out
+            return _fused_body(_unpack_2bit(packed, n_mask), lens)
 
         def _body_nomask(packed, lens):
-            if two_stage:
-                return _fused_body_packed_2stage(packed, lens)
             if packed_path_ok:
                 return _fused_body_packed(packed, lens)
             return _fused_body(_unpack_nomask(packed), lens)
@@ -313,15 +256,10 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
     else:
         @jax.jit
         def fused_masked(packed, n_mask, lens):
-            out = _fused_body(_unpack_2bit(packed, n_mask), lens)
-            if two_stage:
-                out = _adapt_two_stage(out, lens.shape[0])
-            return out
+            return _fused_body(_unpack_2bit(packed, n_mask), lens)
 
         @jax.jit
         def fused_nomask(packed, lens):
-            if two_stage:
-                return _fused_body_packed_2stage(packed, lens)
             if packed_path_ok:
                 return _fused_body_packed(packed, lens)
             return _fused_body(_unpack_nomask(packed), lens)
@@ -335,20 +273,14 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
         return fused_masked(packed, n_mask, lens)
 
     def unbundle(out: np.ndarray, B: int):
-        """Single-stage: (df, dr, hits, n_pass). Two-stage mode adds
-        (..., hits_a, n_pass, n_cand); sharded n_pass/n_cand are the max
-        over the per-shard blocks (host overflow rules are per shard)."""
+        """-> (df, dr, hits, n_pass); sharded n_pass is the max over the
+        per-shard blocks (the host overflow rule applies per shard)."""
         blocks = out.reshape(n_dev, -1)
         Bs = B // n_dev
         df = blocks[:, :Bs].reshape(B)
         dr = blocks[:, Bs:2 * Bs].reshape(B)
         hits = blocks[:, 2 * Bs:3 * Bs].reshape(B)
-        if not two_stage:
-            return df, dr, hits, int(blocks[:, 3 * Bs].max())
-        hits_a = blocks[:, 3 * Bs:4 * Bs].reshape(B)
-        n_pass = int(blocks[:, 4 * Bs].max())
-        n_cand = int(blocks[:, 4 * Bs + 1].max())
-        return df, dr, hits, hits_a, n_pass, n_cand
+        return df, dr, hits, int(blocks[:, 3 * Bs].max())
 
     def fused_unbundled(packed, n_mask, lens):
         out = np.asarray(fused_raw(packed, n_mask, lens))
@@ -358,7 +290,5 @@ def make_fused_recruit(seed_bitmap: np.ndarray,
     fused_unbundled.unbundle = unbundle
     fused_unbundled.min_hits = min_hits      # in sampled-position units
     fused_unbundled.stride = stride
-    fused_unbundled.two_stage = two_stage
-    fused_unbundled.cand_budget = cand_budget   # per shard
     fused_unbundled.n_dev = n_dev
     return fused_unbundled

@@ -80,6 +80,33 @@ def build_seed_bitmap(unit: str, k: int = 13, *, le: bool = False
     return bitmap
 
 
+def host_prescan_hits(packed: np.ndarray, lens: np.ndarray,
+                      bitmap_le: np.ndarray, k: int = 13) -> np.ndarray:
+    """Host-side (numpy) stage-A seed prescan over 2-bit packed rows.
+
+    Samples ONE k-mer per 16-base u32 word (in-word phase 0) and counts
+    membership in the LE-keyed seed bitmap — bit-identical to the device
+    packed filter restricted to offset 0 (ops/fused_recruit._packed_hits).
+    Purpose: the host→device link is the scarce resource (~MB/ms on PCIe,
+    far less through a dev tunnel); rows with 0 sampled hits are resolved
+    as non-centromeric BEFORE upload, so only candidate rows (~2% true +
+    a few % sampling false-positives on random sequence) ever cross the
+    link. A unit window at the recruitment boundary (<= 17% divergence,
+    2 kb) carries ~11 expected sampled clean 13-mers; P[prescan misses
+    it] ~ e^-11. Rows containing in-range N bases must NOT be prescanned
+    (N packs as base 0): route them to the exact Myers tier instead.
+    """
+    B, Lq = packed.shape
+    assert Lq % 4 == 0
+    W = packed.reshape(B, Lq // 4, 4).view(np.uint32)[..., 0]
+    code = W & np.uint32((1 << (2 * k)) - 1)
+    pos16 = 16 * np.arange(Lq // 4, dtype=np.int32)[None, :]
+    valid = (pos16 + k) <= np.asarray(lens, np.int32)[:, None]
+    got = bitmap_le[(code >> np.uint32(5)).astype(np.int64)]
+    found = (((got >> (code & np.uint32(31))) & 1) == 1) & valid
+    return found.sum(axis=1, dtype=np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "stride"))
 def seed_hit_counts_bitmap(bitmap: jnp.ndarray, codes: jnp.ndarray,
                            lens: jnp.ndarray, *, k: int, stride: int = 1):

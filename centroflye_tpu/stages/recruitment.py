@@ -94,17 +94,19 @@ class RecruitmentEngine:
             self._seed_bitmap = build_seed_bitmap(
                 unit, k=self.config.seed_k)
             self.k_budget = 128
+            self._bitmap_le = build_seed_bitmap(
+                unit, k=self.config.seed_k, le=True)
+            # candidate (device) batch: small — the host stage-A prescan
+            # (ops/seed_filter.host_prescan_hits) drops ~95% of rows
+            # before upload, so the fused step only ever sees candidates
+            self.cand_batch = min(
+                self.batch, -(-256 // n_dev) * n_dev)
             self._fused = make_fused_recruit(
                 self._seed_bitmap, self.peq_fwd, self.peq_rc,
                 m=self.m, seed_k=self.config.seed_k,
                 min_hits=self.config.min_seed_hits,
                 k_budget=self.k_budget, use_pallas=self.use_pallas,
-                mesh=mesh, two_stage=True,
-                seed_bitmap_le=build_seed_bitmap(
-                    unit, k=self.config.seed_k, le=True))
-            # per-shard candidate budget for the two-stage overflow rule
-            self._cand_budget = min(self._fused.cand_budget,
-                                    self.batch // n_dev)
+                mesh=mesh, seed_bitmap_le=self._bitmap_le)
 
     # -- pure device steps (also used by __graft_entry__) -----------------
 
@@ -134,32 +136,46 @@ class RecruitmentEngine:
             ) -> Iterator[RecruitmentResult]:
         """Stream (r_id, seq) pairs; yields per-read results in input order.
 
-        Two device tiers: every segment passes the cheap seed filter
-        (config.prefilter); only surviving segments reach the Myers batch.
+        Three tiers under config.prefilter:
+        1. HOST stage-A prescan (ops/seed_filter.host_prescan_hits, pure
+           numpy over the 2-bit packed batch): rows with zero sampled
+           seed hits resolve as non-matching WITHOUT crossing the
+           host→device link — the link, not compute, bounds streaming
+           recruitment, and ~95% of real-data rows stop here;
+        2. fused device step (exact sampled filter + Myers on survivors,
+           ops/fused_recruit) over compacted candidate rows only;
+        3. plain Myers tier for candidate overflow beyond the device
+           budget and for rows with in-range N bases (the packed prescan
+           is blind to N).
         Failing segments resolve immediately as non-matching (dist = m).
         """
         SEG = self.seg_len
         prefilter = self.config.prefilter
         min_hits = self.config.min_seed_hits
-        # two tiers: the filter sees every segment (big batches amortize
-        # dispatch), the Myers kernel sees only survivors (small batches
-        # avoid padding waste)
-        B_f = self.batch
+        B_f = self.batch                  # host prescan batch: never uploaded
         B = 128 if prefilter else self.batch
+        B_c = self.cand_batch if prefilter else 0
 
         seg_codes = np.full((B, SEG), PAD, dtype=np.int8)
         seg_lens = np.zeros((B,), dtype=np.int32)
         seg_read: List[int] = []          # myers-batch row -> read index
 
-        # reusable filter-batch buffers: rows are fully overwritten on
-        # enqueue and rows beyond the fill level carry len 0 (ignored by
-        # the kernels), so recycled buffers need no clearing — avoids a
-        # fresh 2x10MB allocation + page-fault churn per batch
-        free_bufs: List[Tuple[np.ndarray, np.ndarray]] = [
-            (np.full((B_f, SEG), PAD, dtype=np.int8),
-             np.zeros((B_f,), dtype=np.int32)) for _ in range(4)]
-        f_codes, f_lens = free_bufs.pop()
-        f_read: List[int] = []            # filter-batch row -> read index
+        # prescan batch buffer: rows are fully overwritten on enqueue and
+        # rows beyond the fill level carry len 0 (ignored everywhere), so
+        # the buffer recycles with no clearing; prescan is synchronous, so
+        # one buffer suffices (candidate rows are copied out in packed form)
+        f_codes = np.full((B_f, SEG), PAD, dtype=np.int8)
+        f_lens = np.zeros((B_f,), dtype=np.int32)
+        f_read: List[int] = []            # prescan-batch row -> read index
+
+        # candidate (device) batch buffers: recycled only after their
+        # in-flight bundle drains — JAX may still be reading the host
+        # buffer while the upload is in flight
+        cand_bufs: List[Tuple[np.ndarray, np.ndarray]] = [
+            (np.zeros((max(B_c, 1), SEG // 4), dtype=np.uint8),
+             np.zeros((max(B_c, 1),), dtype=np.int32)) for _ in range(4)]
+        c_packed, c_lens = cand_bufs.pop()
+        c_read: List[int] = []            # candidate row -> read index
 
         # per pending read: [r_id, n_pending_segments, min_f, min_r]
         pending: dict = {}
@@ -168,7 +184,7 @@ class RecruitmentEngine:
         next_emit = 0
         inflight: List[Tuple] = []
         # fused-tier in-flight queue: (device bundle, row->read map,
-        # codes copy, lens copy). Results stay on device until drained so
+        # packed copy, lens copy). Results stay on device until drained so
         # uploads/compute of later batches overlap earlier transfers —
         # materializing per batch would serialize the whole stream on the
         # host link round-trip.
@@ -210,65 +226,81 @@ class RecruitmentEngine:
         # threshold accordingly; the host fallback must apply the same one
         min_hits_sampled = self._fused.min_hits if prefilter else min_hits
 
-        def flush_filter():
-            """Fused path: one device call computes the filter AND the
-            Myers distances of passing rows (ops/fused_recruit). The call
-            is asynchronous — the bundled result stays on device in
-            f_inflight until drained, so packing/upload of the next batch
-            overlaps this batch's compute and readback."""
-            nonlocal f_codes, f_lens, f_read
+        def flush_prescan():
+            """Host tier: pack the batch, run the numpy stage-A prescan,
+            and route every row — misses resolve immediately, rows with
+            in-range N bases go to the exact Myers tier, candidates are
+            copied (packed) into the small device batch. Synchronous and
+            device-free: the 2-bit pack + one bitmap gather per 16 bases."""
+            nonlocal f_read
             if not f_read:
                 return
             from centroflye_tpu.ops.fused_recruit import pack_2bit
+            from centroflye_tpu.ops.seed_filter import host_prescan_hits
             rows = len(f_read)
             f_lens[rows:] = 0            # stale recycled rows: ignore
             packed, n_mask = pack_2bit(f_codes, f_lens)
-            bundle = self._fused.raw(packed, n_mask, f_lens)
-            f_inflight.append((bundle, f_read, f_codes, f_lens))
-            if free_bufs:
-                f_codes, f_lens = free_bufs.pop()
-            else:
-                f_codes = np.full((B_f, SEG), PAD, dtype=np.int8)
-                f_lens = np.zeros((B_f,), dtype=np.int32)
+            hits_a = host_prescan_hits(packed, f_lens, self._bitmap_le,
+                                       k=self.config.seed_k)
+            n_rows = n_mask.any(axis=1) if n_mask is not None else None
+            for row, ridx in enumerate(f_read):
+                if n_rows is not None and n_rows[row]:
+                    enqueue_myers(f_codes[row], int(f_lens[row]), ridx)
+                elif not hits_a[row]:
+                    resolve(ridx, self.m, self.m)
+                else:
+                    crow = len(c_read)
+                    c_packed[crow] = packed[row]
+                    c_lens[crow] = f_lens[row]
+                    c_read.append(ridx)
+                    if len(c_read) == B_c:
+                        flush_cands()
             f_read = []
-            while len(f_inflight) > F_DEPTH:
-                drain_filter_one()
 
-        def drain_filter_one():
+        def flush_cands():
+            """Fused device tier: one call computes the exact sampled
+            filter AND the Myers distances of passing candidate rows
+            (ops/fused_recruit). The call is asynchronous — the bundled
+            result stays on device in f_inflight until drained, so
+            prescan/upload of later batches overlaps this batch's compute
+            and readback."""
+            nonlocal c_packed, c_lens, c_read
+            if not c_read:
+                return
+            rows = len(c_read)
+            c_lens[rows:] = 0            # stale recycled rows: ignore
+            bundle = self._fused.raw(c_packed, None, c_lens)
+            f_inflight.append((bundle, c_read, c_packed, c_lens))
+            if cand_bufs:
+                c_packed, c_lens = cand_bufs.pop()
+            else:
+                c_packed = np.zeros((B_c, SEG // 4), dtype=np.uint8)
+                c_lens = np.zeros((B_c,), dtype=np.int32)
+            c_read = []
+            while len(f_inflight) > F_DEPTH:
+                drain_cands_one()
+
+        def drain_cands_one():
             """Materialize the oldest fused bundle; overflow beyond the
             device survivor budget falls back to the plain Myers tier
-            (codes were kept with the queue entry for exactly this).
-            Two-stage bundles carry a second overflow rule: when a shard
-            saw more stage-A candidates than its stage-B budget, every
-            stage-A candidate goes to the exact Myers tier (strictly more
-            accurate than the filter it replaces)."""
-            bundle, rows_map, codes_snap, lens_snap = f_inflight.pop(0)
-            res = self._fused.unbundle(
+            (packed rows were kept with the queue entry for exactly this;
+            candidate rows never contain N, so the host unpack is exact)."""
+            bundle, rows_map, packed_snap, lens_snap = f_inflight.pop(0)
+            df, dr, hits, n_pass = self._fused.unbundle(
                 np.asarray(bundle), lens_snap.shape[0])
-            if self._fused.two_stage:
-                df, dr, hits, hits_a, n_pass, n_cand = res
-                if n_cand > self._cand_budget:
-                    for row, ridx in enumerate(rows_map):
-                        if int(hits_a[row]) >= 1:
-                            enqueue_myers(codes_snap[row],
-                                          int(lens_snap[row]), ridx)
-                        else:
-                            resolve(ridx, self.m, self.m)
-                    free_bufs.append((codes_snap, lens_snap))
-                    return
-            else:
-                df, dr, hits, n_pass = res
             if n_pass <= self.k_budget:
                 for row, ridx in enumerate(rows_map):
                     resolve(ridx, int(df[row]), int(dr[row]))
             else:
+                from centroflye_tpu.ops.fused_recruit import unpack_2bit_host
+                codes_snap = unpack_2bit_host(packed_snap)
                 for row, ridx in enumerate(rows_map):
                     if int(hits[row]) >= min_hits_sampled:
                         enqueue_myers(codes_snap[row], int(lens_snap[row]),
                                       ridx)
                     else:
                         resolve(ridx, self.m, self.m)
-            free_bufs.append((codes_snap, lens_snap))
+            cand_bufs.append((packed_snap, lens_snap))
 
         def drain_one():
             df, dr, rows_map, rows = inflight.pop(0)
@@ -302,16 +334,17 @@ class RecruitmentEngine:
                     f_lens[row] = len(chunk)
                     f_read.append(read_idx)
                     if len(f_read) == B_f:
-                        flush_filter()
+                        flush_prescan()
                         yield from emit_ready()
                 else:
                     enqueue_myers(chunk, len(chunk), read_idx)
                     yield from emit_ready()
             read_idx += 1
         if prefilter:
-            flush_filter()
+            flush_prescan()
+            flush_cands()
             while f_inflight:
-                drain_filter_one()     # may enqueue Myers fallback rows
+                drain_cands_one()      # may enqueue Myers fallback rows
         flush_myers()
         while inflight:
             drain_one()

@@ -172,71 +172,64 @@ def test_bitmap_scatter_no_bit_loss():
              >> (c & np.uint64(31)).astype(np.uint32)) & 1))
 
 
-def test_fused_two_stage_matches_single_stage_on_candidates(rng):
-    """Two-stage bundle contract: every stage-A candidate row (hits_a >= 1)
-    carries df/dr/hits identical to the single-stage packed path; rows
-    stage A drops carry the sentinel distances and hits 0."""
-    import jax.numpy as jnp
-    import os
-    from centroflye_tpu.io import read_seq
-    from centroflye_tpu.io.encoding import revcomp, encode as enc
-    unit = read_seq(os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "centroflye_tpu", "data", "DXZ1_rc.fasta"))
-    m = len(unit)
-    uc = encode(unit)
-    peq_f, peq_r = build_peq(uc), build_peq(revcomp(uc))
-    bm = build_seed_bitmap(unit, k=13)
+def test_host_prescan_matches_device_phase0(rng):
+    """The numpy host prescan must be bit-identical to the device packed
+    filter restricted to in-word phase 0 (one sample per 16 bases) — the
+    engine's accept set depends on this equivalence."""
+    from centroflye_tpu.ops.seed_filter import host_prescan_hits
+    unit = gen_random_seq(rng, 500)
     bm_le = build_seed_bitmap(unit, k=13, le=True)
-    B, L = 32, 4096
+    B, L = 64, 2048
     codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
-    for i in (3, 7, 20):   # plant noisy unit windows
-        w = encode(add_read_noise(rng, unit, 0.08))[:2048]
-        codes[i, 100:100 + len(w)] = w
-    lens = rng.integers(2400, L + 1, size=B).astype(np.int32)
-    kw = dict(m=m, seed_k=13, min_hits=8, k_budget=8, stride=2,
-              use_pallas=False, seed_bitmap_le=bm_le)
-    single = make_fused_recruit(bm, peq_f, peq_r, **kw)
-    double = make_fused_recruit(bm, peq_f, peq_r, two_stage=True,
-                                cand_budget=16, **kw)
+    for i in (3, 7, 20, 40):   # plant noisy unit windows
+        w = encode(add_read_noise(rng, unit, 0.12))
+        codes[i, 64:64 + len(w)] = w
+    lens = rng.integers(16, L + 1, size=B).astype(np.int32)
     packed, n_mask = pack_2bit(codes, lens)
     assert n_mask is None
-    df1, dr1, hits1, n_pass1 = single(packed, None, jnp.asarray(lens))
-    df2, dr2, hits2, hits_a, n_pass2, n_cand = double(
-        packed, None, jnp.asarray(lens))
-    assert int(n_cand) >= 3 and int(n_cand) <= 16
-    assert int(n_pass2) == int(n_pass1)
+    hits = host_prescan_hits(packed, lens, bm_le, k=13)
+    # oracle: brute-force over positions 0, 16, 32, ... of each row
+    kmers = {unit[i:i + 13] for i in range(len(unit) - 12)}
+    from centroflye_tpu.io.encoding import revcomp_str
+    rc = revcomp_str(unit)
+    kmers |= {rc[i:i + 13] for i in range(len(rc) - 12)}
+    from centroflye_tpu.io.encoding import decode
     for r in range(B):
-        if int(hits_a[r]) >= 1:
-            assert (int(df2[r]), int(dr2[r]), int(hits2[r])) == \
-                (int(df1[r]), int(dr1[r]), int(hits1[r])), r
-        else:
-            assert int(df2[r]) == m and int(dr2[r]) == m
-            assert int(hits2[r]) == 0
+        s = decode(codes[r, :lens[r]])
+        want = sum(s[p:p + 13] in kmers
+                   for p in range(0, int(lens[r]) - 12, 16))
+        assert int(hits[r]) == want, r
+    assert all(int(hits[i]) > 0 for i in (3, 7, 20, 40))
 
 
-def test_engine_two_stage_overflow_falls_back_exact(rng):
-    """When a batch has more stage-A candidates than the stage-B budget,
-    the engine must route candidates through the exact Myers tier — the
-    recruited set still equals the no-prefilter engine's."""
+def test_engine_candidate_overflow_falls_back_exact(rng):
+    """When prescan candidates exceed the device batch repeatedly and the
+    fused survivor budget overflows, the engine must route rows through
+    the exact Myers tier — the recruited set still equals the
+    no-prefilter engine's."""
     from centroflye_tpu.config import RecruitmentConfig
     from centroflye_tpu.stages.recruitment import RecruitmentEngine
     unit = gen_random_seq(rng, 200)
     reads = [(f"cen{i}", add_read_noise(rng, unit * 5, 0.08))
              for i in range(12)]           # all centromeric: every row is
     reads += [(f"bg{i}", gen_random_seq(rng, 1200)) for i in range(4)]
+    # one read with N bases: must take the exact tier, not the prescan
+    noisy = list(add_read_noise(rng, unit * 5, 0.08))
+    noisy[37] = "N"
+    reads.append(("cenN", "".join(noisy)))
     base = dict(threshold=50, batch_size=8)
     exact = RecruitmentEngine(
         unit, RecruitmentConfig(prefilter=False, **base), seg_len=2048)
     filt = RecruitmentEngine(
         unit, RecruitmentConfig(prefilter=True, min_seed_hits=4, **base),
         seg_len=2048)
-    assert filt._fused.two_stage
-    filt._cand_budget = 2                  # force n_cand > budget
+    # cand_batch is already 8 here (13 candidates -> multiple flushes);
+    # a tiny survivor budget forces the exact-tier overflow fallback
+    filt.k_budget = 2
     res_e = {r.r_id: r.recruited for r in exact.run(reads)}
     res_f = {r.r_id: r.recruited for r in filt.run(reads)}
     assert res_e == res_f
-    assert sum(res_f.values()) == 12
+    assert sum(res_f.values()) == 13
 
 
 @pytest.mark.parametrize("stride", [1, 2, 4])
