@@ -62,6 +62,11 @@ def load_native(build: bool = False):
         lib.cf_pack2bit.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "cf_encode_pack_row"):
+        lib.cf_encode_pack_row.restype = ctypes.c_int32
+        lib.cf_encode_pack_row.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
     if hasattr(lib, "cf_align_path_batch"):
         lib.cf_align_path_batch.restype = None
         lib.cf_align_path_batch.argtypes = [
@@ -94,6 +99,30 @@ def build_native() -> bool:
 
 def native_available() -> bool:
     return load_native() is not None
+
+
+def get_encode_pack():
+    """Raw ctypes cf_encode_pack_row (or None): encode + 2-bit pack an
+    ASCII slice straight into a packed row buffer, one scan, no int8
+    intermediate. Signature: (seq_bytes, start, length, out_ptr,
+    out_bytes) -> 1 if a non-ACGT char was in range (caller routes the
+    row to the exact tier), 0 clean, -1 overflow. Callers do their own
+    pointer math per row — this is the streaming engine's hot fill path
+    (~2 us/10 kb row vs ~35 us for numpy encode + pack)."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "cf_encode_pack_row"):
+        return None
+    return lib.cf_encode_pack_row
+
+
+def get_pack2bit_row():
+    """Raw ctypes cf_pack2bit (or None) for single-row use on int8 code
+    arrays (the native-reader input path): caller passes rows=1 and a
+    1-element lens array; returns 1 if any in-range code >= 4."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "cf_pack2bit"):
+        return None
+    return lib.cf_pack2bit
 
 
 def native_edit_distance(query_codes: np.ndarray, target_codes: np.ndarray,

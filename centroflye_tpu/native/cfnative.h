@@ -108,6 +108,12 @@ int64_t cf_reader_next(cf_reader* r, int8_t* codes_buf, int64_t cap,
 int32_t cf_pack2bit(const int8_t* codes, int64_t rows, int64_t len,
                     const int32_t* lens, uint8_t* packed, uint8_t* n_mask);
 
+/* Encode + 2-bit pack ASCII bases seq[start : start+len] into one packed
+ * row of out_bytes (zero-filled past len). Non-ACGT characters pack as 0;
+ * returns 1 if any were seen, 0 otherwise, -1 if out_bytes is too small. */
+int32_t cf_encode_pack_row(const char* seq, int64_t start, int64_t len,
+                           uint8_t* out, int64_t out_bytes);
+
 #ifdef __cplusplus
 }
 #endif

@@ -184,3 +184,41 @@ extern "C" int32_t cf_pack2bit(const int8_t* codes, int64_t rows,
   }
   return any_n;
 }
+
+// Pack ASCII bases seq[start : start+len] straight into one 2-bit packed
+// row (out_bytes wide, zero-filled past len) — encode + pad + pack in a
+// single scan, no intermediate code array. Bases A/C/G/T (either case)
+// pack as 0..3; anything else packs as 0 and sets the return flag so the
+// caller can route the row to the exact (mask-aware) tier. The streaming
+// engine's hot fill path (stages/recruitment.py): one call per segment row.
+extern "C" int32_t cf_encode_pack_row(const char* seq, int64_t start,
+                                      int64_t len, uint8_t* out,
+                                      int64_t out_bytes) {
+  init_codes();
+  const char* s = seq + start;
+  int32_t any_n = 0;
+  int64_t q = 0;
+  const int64_t full_q = len / 4;
+  if (full_q > out_bytes) return -1;
+  for (; q < full_q; ++q) {
+    uint8_t p = 0;
+    for (int b = 0; b < 4; ++b) {
+      int8_t v = g_code[(unsigned char)s[4 * q + b]];
+      if (v > 3) { any_n = 1; v = 0; }
+      p |= (uint8_t)(v << (2 * b));
+    }
+    out[q] = p;
+  }
+  if (q < out_bytes) {
+    uint8_t p = 0;
+    int b = 0;
+    for (int64_t i = 4 * q; i < len; ++i, ++b) {
+      int8_t v = g_code[(unsigned char)s[i]];
+      if (v > 3) { any_n = 1; v = 0; }
+      p |= (uint8_t)(v << (2 * b));
+    }
+    out[q++] = p;
+    for (; q < out_bytes; ++q) out[q] = 0;
+  }
+  return any_n;
+}

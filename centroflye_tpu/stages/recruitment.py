@@ -85,6 +85,9 @@ class RecruitmentEngine:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        # in-flight fused-bundle queue depth: 2 measured best through the
+        # dev tunnel (deeper queues add no overlap, the link serializes)
+        self.queue_depth = 2
         if self.config.prefilter:
             from centroflye_tpu.ops.seed_filter import (
                 build_seed_table, build_seed_bitmap)
@@ -98,7 +101,10 @@ class RecruitmentEngine:
                 unit, k=self.config.seed_k, le=True)
             # candidate (device) batch: small — the host stage-A prescan
             # (ops/seed_filter.host_prescan_hits) drops ~95% of rows
-            # before upload, so the fused step only ever sees candidates
+            # before upload, so the fused step only ever sees candidates.
+            # 256 rows measured best e2e: bigger batches cost the same
+            # per row but flush too rarely to overlap with host fill on
+            # realistic stream lengths.
             self.cand_batch = min(
                 self.batch, -(-256 // n_dev) * n_dev)
             self._fused = make_fused_recruit(
@@ -163,10 +169,33 @@ class RecruitmentEngine:
         # prescan batch buffer: rows are fully overwritten on enqueue and
         # rows beyond the fill level carry len 0 (ignored everywhere), so
         # the buffer recycles with no clearing; prescan is synchronous, so
-        # one buffer suffices (candidate rows are copied out in packed form)
-        f_codes = np.full((B_f, SEG), PAD, dtype=np.int8)
+        # one buffer suffices (candidate rows are copied out in packed form).
+        # Native fill mode encodes + packs each segment row IN PLACE from
+        # the ASCII read (cf_encode_pack_row, one scan, no int8 batch at
+        # all — the encode+fill+pack trio was the dominant host cost);
+        # the numpy fallback accumulates int8 codes and packs at flush.
+        enc_pack = pack_row = None
+        if prefilter and SEG % 8 == 0:
+            from centroflye_tpu.native import (
+                get_encode_pack, get_pack2bit_row)
+            enc_pack = get_encode_pack()
+            pack_row = get_pack2bit_row()
+        native_fill = enc_pack is not None and pack_row is not None
+        SEGQ = SEG // 4
+        f_packed = np.zeros((B_f, SEGQ), dtype=np.uint8)
         f_lens = np.zeros((B_f,), dtype=np.int32)
         f_read: List[int] = []            # prescan-batch row -> read index
+        f_codes = (None if (native_fill or not prefilter)
+                   else np.full((B_f, SEG), PAD, dtype=np.int8))
+        if native_fill:
+            # single-row scratch for array-codes input (native reader path)
+            t_codes = np.empty((SEG,), np.int8)
+            t_len = np.empty((1,), np.int32)
+            t_mask = np.empty((SEG // 8,), np.uint8)
+            f_base = f_packed.ctypes.data
+            t_codes_ptr = t_codes.ctypes.data
+            t_len_ptr = t_len.ctypes.data
+            t_mask_ptr = t_mask.ctypes.data
 
         # candidate (device) batch buffers: recycled only after their
         # in-flight bundle drains — JAX may still be reading the host
@@ -189,7 +218,7 @@ class RecruitmentEngine:
         # materializing per batch would serialize the whole stream on the
         # host link round-trip.
         f_inflight: List[Tuple] = []
-        F_DEPTH = 2     # deeper queues degrade through high-latency links
+        F_DEPTH = self.queue_depth   # bounded in-flight fused bundles
 
         def resolve(ridx, df, dr):
             rec = pending[ridx]
@@ -235,14 +264,20 @@ class RecruitmentEngine:
             nonlocal f_read
             if not f_read:
                 return
-            from centroflye_tpu.ops.fused_recruit import pack_2bit
             from centroflye_tpu.ops.seed_filter import host_prescan_hits
             rows = len(f_read)
-            f_lens[rows:] = 0            # stale recycled rows: ignore
-            packed, n_mask = pack_2bit(f_codes, f_lens)
-            hits_a = host_prescan_hits(packed, f_lens, self._bitmap_le,
+            if native_fill:
+                # rows were encoded+packed in place; N rows never enter
+                packed, n_rows = f_packed[:rows], None
+            else:
+                from centroflye_tpu.ops.fused_recruit import pack_2bit
+                f_lens[rows:] = 0        # stale recycled rows: ignore
+                packed, n_mask = pack_2bit(f_codes, f_lens)
+                packed = packed[:rows]
+                n_rows = n_mask.any(axis=1) if n_mask is not None else None
+            hits_a = host_prescan_hits(packed, f_lens[:rows],
+                                       self._bitmap_le,
                                        k=self.config.seed_k)
-            n_rows = n_mask.any(axis=1) if n_mask is not None else None
             for row, ridx in enumerate(f_read):
                 if n_rows is not None and n_rows[row]:
                     enqueue_myers(f_codes[row], int(f_lens[row]), ridx)
@@ -321,23 +356,52 @@ class RecruitmentEngine:
 
         read_idx = 0
         for r_id, seq in reads:
-            codes = seq if isinstance(seq, np.ndarray) else encode(seq)
-            starts = segment_starts(len(codes), SEG, self.overlap)
+            is_arr = isinstance(seq, np.ndarray)
+            if native_fill and not is_arr:
+                raw = seq.encode("ascii")    # no int8 encode: rows pack
+                codes = None                 # straight from the ASCII
+                n_len = len(raw)
+            else:
+                codes = seq if is_arr else encode(seq)
+                n_len = len(codes)
+            starts = segment_starts(n_len, SEG, self.overlap)
             pending[read_idx] = [r_id, len(starts), self.m, self.m]
             order.append(read_idx)
             for st in starts:
-                chunk = codes[st:st + SEG]
-                if prefilter:
+                ln = min(SEG, n_len - st)
+                if prefilter and native_fill:
                     row = len(f_read)
-                    f_codes[row, :len(chunk)] = chunk
-                    f_codes[row, len(chunk):] = PAD
-                    f_lens[row] = len(chunk)
+                    if codes is None:
+                        flag = enc_pack(raw, st, ln,
+                                        f_base + row * SEGQ, SEGQ)
+                    else:
+                        t_codes[:ln] = codes[st:st + ln]
+                        t_len[0] = ln
+                        flag = pack_row(t_codes_ptr, 1, SEG, t_len_ptr,
+                                        f_base + row * SEGQ, t_mask_ptr)
+                    if flag:
+                        # non-ACGT in range: exact (mask-aware) tier
+                        cseg = (encode(seq[st:st + ln]) if codes is None
+                                else codes[st:st + ln])
+                        enqueue_myers(cseg, ln, read_idx)
+                    else:
+                        f_lens[row] = ln
+                        f_read.append(read_idx)
+                        if len(f_read) == B_f:
+                            flush_prescan()
+                            yield from emit_ready()
+                elif prefilter:
+                    chunk = codes[st:st + SEG]
+                    row = len(f_read)
+                    f_codes[row, :ln] = chunk
+                    f_codes[row, ln:] = PAD
+                    f_lens[row] = ln
                     f_read.append(read_idx)
                     if len(f_read) == B_f:
                         flush_prescan()
                         yield from emit_ready()
                 else:
-                    enqueue_myers(chunk, len(chunk), read_idx)
+                    enqueue_myers(codes[st:st + SEG], ln, read_idx)
                     yield from emit_ready()
             read_idx += 1
         if prefilter:

@@ -255,3 +255,37 @@ def test_native_align_path_banded_exact_path(rng, make_dna, make_mutant):
             continue  # empty-alignment convention differs; not a path case
         assert (d, t_st, t_en) == (od, ts, te), (trial, mode)
         assert expand(cigar) == ops, (trial, mode)
+
+
+def test_native_encode_pack_row_matches_numpy(rng, make_dna):
+    """cf_encode_pack_row (ASCII -> packed row, one scan) must agree with
+    encode + pack_2bit on clean rows, flag non-ACGT rows, honor start
+    offsets / odd lengths / lowercase, and zero-fill past the length."""
+    from centroflye_tpu.native import get_encode_pack
+    from centroflye_tpu.ops.fused_recruit import pack_2bit
+    enc_pack = get_encode_pack()
+    if enc_pack is None:
+        import pytest
+        pytest.skip("native lib not built")
+    for trial in range(30):
+        n = int(rng.integers(1, 600))
+        seq = make_dna(n)
+        if trial % 3 == 1:
+            seq = seq.lower()
+        start = int(rng.integers(0, n))
+        ln = n - start
+        segq = -(-max(ln, 8) // 8) * 2        # out row width, 8-base padded
+        out = np.full((segq,), 0xAA, np.uint8)  # stale garbage
+        flag = enc_pack(seq.encode("ascii"), start, ln,
+                        out.ctypes.data, segq)
+        assert flag == 0
+        L8 = segq * 4
+        codes = np.full((1, L8), 4, np.int8)
+        codes[0, :ln] = encode(seq[start:])
+        want, n_mask = pack_2bit(codes, np.array([ln], np.int32))
+        assert n_mask is None
+        assert np.array_equal(out, want[0]), trial
+    # non-ACGT flag
+    out = np.zeros(4, np.uint8)
+    assert enc_pack(b"ACGNACGT", 0, 8, out.ctypes.data, 4) == 1
+    assert enc_pack(b"ACGNACGT", 4, 4, out.ctypes.data, 4) == 0

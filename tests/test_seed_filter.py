@@ -268,3 +268,26 @@ def test_fused_packed_filter_matches_unpack_path(rng, stride):
     a = np.asarray(old.raw(packed, None, jnp.asarray(lens)))
     b = np.asarray(new.raw(packed, None, jnp.asarray(lens)))
     assert np.array_equal(a, b)
+
+
+def test_engine_numpy_fallback_fill_matches(rng, monkeypatch):
+    """With the native fill disabled, the numpy accumulate-then-pack path
+    must recruit the same set (covers environments without the .so)."""
+    import centroflye_tpu.native as native
+    from centroflye_tpu.config import RecruitmentConfig
+    from centroflye_tpu.stages.recruitment import RecruitmentEngine
+    unit = gen_random_seq(rng, 200)
+    reads = [(f"cen{i}", add_read_noise(rng, unit * 5, 0.08))
+             for i in range(6)]
+    reads += [(f"bg{i}", gen_random_seq(rng, 1200)) for i in range(6)]
+    noisy = list(add_read_noise(rng, unit * 5, 0.08))
+    noisy[37] = "N"
+    reads.append(("cenN", "".join(noisy)))
+    cfg = RecruitmentConfig(threshold=50, batch_size=8, min_seed_hits=4)
+    eng = RecruitmentEngine(unit, cfg, seg_len=2048)
+    res_native = {r.r_id: r.recruited for r in eng.run(reads)}
+    monkeypatch.setattr(native, "get_encode_pack", lambda: None)
+    eng2 = RecruitmentEngine(unit, cfg, seg_len=2048)
+    res_np = {r.r_id: r.recruited for r in eng2.run(reads)}
+    assert res_native == res_np
+    assert sum(res_np.values()) == 7
