@@ -84,6 +84,43 @@ def _run_starts(hi, lo):
     return prev_ne
 
 
+def _compact_runs(hi, lo, starts_v, csums, capacity: int):
+    """Compact the runs of a sorted (hi, lo) array into a fixed-capacity
+    table WITHOUT scatters: run-start positions are gathered to the front
+    by a stable argsort of ~starts_v (sort throughput ~200M keys/s on one
+    chip vs ~15M/s for capacity-sized scatter + segment_sum — measured
+    7x on the whole op), and per-run reductions come from inclusive
+    prefix sums evaluated at run boundaries. csums are uint32 prefix
+    sums over the sorted elements; modular uint32 subtraction keeps
+    boundary differences exact even when the GLOBAL total overflows 32
+    bits (only per-run sums must fit). Valid entries are contiguous at
+    the front (any valid hi < SENTINEL sorts before the sentinel pad).
+
+    Returns (uhi, ulo, [per-run sums...], n_runs)."""
+    n = jnp.sum(starts_v.astype(jnp.int32))
+    n_valid = jnp.sum((hi != SENTINEL).astype(jnp.int32))
+    pos = jnp.argsort(~starts_v, stable=True).astype(jnp.int32)
+    if pos.shape[0] < capacity:      # fewer elements than table slots
+        pos = jnp.concatenate(
+            [pos, jnp.zeros((capacity - pos.shape[0],), jnp.int32)])
+    else:
+        pos = pos[:capacity]
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    is_run = k < n
+    uhi = jnp.where(is_run, hi[pos], SENTINEL)
+    ulo = jnp.where(is_run, lo[pos], SENTINEL)
+    nxt = jnp.concatenate([pos[1:], jnp.zeros((1,), jnp.int32)])
+    end = jnp.where(k < n - 1, nxt, n_valid)
+    sums = []
+    for csum in csums:
+        at_end = csum[jnp.maximum(end - 1, 0)]
+        before = jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)],
+                           jnp.uint32(0))
+        sums.append(jnp.where(is_run, (at_end - before).astype(jnp.int32),
+                              0))
+    return uhi, ulo, sums, n
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def count_unique(hi, lo, *, capacity: int):
     """Unique codes + multiplicities of a flat code array.
@@ -93,22 +130,11 @@ def count_unique(hi, lo, *, capacity: int):
     SENTINEL/0 rows, plus n_unique (int32 scalar).
     """
     hi, lo = sort_by_code(hi.ravel(), lo.ravel())
-    starts = _run_starts(hi, lo)
     valid = hi != SENTINEL
-    starts = starts & valid
-    # segment id per element = inclusive-scan of starts - 1
-    seg = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    n = seg[-1] + 1  # number of valid runs
-    # counts per segment
-    counts = jax.ops.segment_sum(
-        valid.astype(jnp.int32), jnp.maximum(seg, 0),
-        num_segments=capacity)
-    idx = jnp.where(starts, seg, capacity)  # scatter target (capacity=drop)
-    uhi = jnp.full((capacity + 1,), SENTINEL, jnp.uint32).at[idx].set(
-        jnp.where(starts, hi, SENTINEL))[:capacity]
-    ulo = jnp.full((capacity + 1,), SENTINEL, jnp.uint32).at[idx].set(
-        jnp.where(starts, lo, SENTINEL))[:capacity]
-    counts = jnp.where(uhi != SENTINEL, counts, 0)
+    starts_v = _run_starts(hi, lo) & valid
+    csum = jnp.cumsum(valid.astype(jnp.uint32))
+    uhi, ulo, (counts,), n = _compact_runs(hi, lo, starts_v, [csum],
+                                           capacity)
     return uhi, ulo, counts, n
 
 
@@ -145,21 +171,10 @@ def count_read_kmer_stats(hi, lo, read_ids, *, capacity: int):
     second_of_pair = (~pair_start) & prev_pair_start
 
     code_start_v = code_start & valid
-    seg = jnp.cumsum(code_start_v.astype(jnp.int32)) - 1
-    n = seg[-1] + 1  # number of valid runs
-    segc = jnp.maximum(seg, 0)
-    n_reads = jax.ops.segment_sum(
-        (pair_start & valid).astype(jnp.int32), segc, num_segments=capacity)
-    n_multi = jax.ops.segment_sum(
-        (second_of_pair & valid).astype(jnp.int32), segc,
-        num_segments=capacity)
-    idx = jnp.where(code_start_v, seg, capacity)
-    uhi = jnp.full((capacity + 1,), SENTINEL, jnp.uint32).at[idx].set(
-        jnp.where(code_start_v, hi, SENTINEL))[:capacity]
-    ulo = jnp.full((capacity + 1,), SENTINEL, jnp.uint32).at[idx].set(
-        jnp.where(code_start_v, lo, SENTINEL))[:capacity]
-    n_reads = jnp.where(uhi != SENTINEL, n_reads, 0)
-    n_multi = jnp.where(uhi != SENTINEL, n_multi, 0)
+    cs_reads = jnp.cumsum((pair_start & valid).astype(jnp.uint32))
+    cs_multi = jnp.cumsum((second_of_pair & valid).astype(jnp.uint32))
+    uhi, ulo, (n_reads, n_multi), n = _compact_runs(
+        hi, lo, code_start_v, [cs_reads, cs_multi], capacity)
     return uhi, ulo, n_reads, n_multi, n
 
 
@@ -179,21 +194,12 @@ def merge_count_tables(uhi_a, ulo_a, counts_a, uhi_b, ulo_b, counts_b,
     order = (hi, lo) + tuple(cnt[:, i] for i in range(cnt.shape[1]))
     sorted_ops = jax.lax.sort(order, num_keys=2)
     hi, lo = sorted_ops[0], sorted_ops[1]
-    cnt = jnp.stack(sorted_ops[2:], axis=1)
-    starts = _run_starts(hi, lo)
     valid = hi != SENTINEL
-    starts_v = starts & valid
-    seg = jnp.cumsum(starts_v.astype(jnp.int32)) - 1
-    n = seg[-1] + 1  # number of valid runs
-    segc = jnp.maximum(seg, 0)
-    summed = jax.ops.segment_sum(
-        jnp.where(valid[:, None], cnt, 0), segc, num_segments=capacity)
-    idx = jnp.where(starts_v, seg, capacity)
-    uhi = jnp.full((capacity + 1,), SENTINEL, jnp.uint32).at[idx].set(
-        jnp.where(starts_v, hi, SENTINEL))[:capacity]
-    ulo = jnp.full((capacity + 1,), SENTINEL, jnp.uint32).at[idx].set(
-        jnp.where(starts_v, lo, SENTINEL))[:capacity]
-    summed = jnp.where(uhi[:, None] != SENTINEL, summed, 0)
+    starts_v = _run_starts(hi, lo) & valid
+    csums = [jnp.cumsum(jnp.where(valid, c, 0).astype(jnp.uint32))
+             for c in sorted_ops[2:]]
+    uhi, ulo, sums, n = _compact_runs(hi, lo, starts_v, csums, capacity)
+    summed = jnp.stack(sums, axis=1)
     if squeeze:
         summed = summed[:, 0]
     return uhi, ulo, summed, n
@@ -232,6 +238,8 @@ def lookup_codes(table_hi, table_lo, hi, lo):
 def table_to_numpy(uhi, ulo, counts, n):
     """Device table -> (codes uint64[n], counts[n]) numpy arrays."""
     n = int(n)
-    uhi = np.asarray(uhi[:n], dtype=np.uint64)
-    ulo = np.asarray(ulo[:n], dtype=np.uint64)
+    # widen on the HOST: asking jax for uint64 under disabled x64 emits a
+    # truncation warning (values are uint32 so widening is lossless)
+    uhi = np.asarray(uhi[:n]).astype(np.uint64)
+    ulo = np.asarray(ulo[:n]).astype(np.uint64)
     return (uhi << np.uint64(32)) | ulo, np.asarray(counts[:n])
