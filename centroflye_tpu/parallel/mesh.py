@@ -109,39 +109,13 @@ def make_kmer_count_step(mesh: Mesh, k: int, capacity: int):
     device folds the full gathered set — the standard redundant-allreduce
     pattern for non-elementwise monoids)."""
     from jax import shard_map
-    from centroflye_tpu.ops import kmers as K
+    from centroflye_tpu.ops.kmers import merge_count_tables
 
     n_dev = mesh.devices.size
 
     def local(codes, lens):
         hi, lo, _ = pack_kmers(codes, lens, k=k)
         return count_unique(hi.ravel(), lo.ravel(), capacity=capacity)
-
-    def merge_pair(a, b):
-        uhi = jnp.concatenate([a[0], b[0]])
-        ulo = jnp.concatenate([a[1], b[1]])
-        cnt = jnp.concatenate([a[2], b[2]])
-        sorted_ops = jax.lax.sort((uhi, ulo, cnt), num_keys=2)
-        uhi, ulo, cnt = sorted_ops
-        starts = jnp.concatenate([
-            jnp.ones((1,), jnp.bool_),
-            (uhi[1:] != uhi[:-1]) | (ulo[1:] != ulo[:-1])])
-        valid = uhi != K.SENTINEL
-        starts_v = starts & valid
-        seg = jnp.cumsum(starts_v.astype(jnp.int32)) - 1
-        n = seg[-1] + 1
-        segc = jnp.maximum(seg, 0)
-        summed = jax.ops.segment_sum(jnp.where(valid, cnt, 0), segc,
-                                     num_segments=capacity)
-        idx = jnp.where(starts_v, seg, capacity)
-        nuhi = jnp.full((capacity + 1,), K.SENTINEL, jnp.uint32
-                        ).at[idx].set(jnp.where(starts_v, uhi,
-                                                K.SENTINEL))[:capacity]
-        nulo = jnp.full((capacity + 1,), K.SENTINEL, jnp.uint32
-                        ).at[idx].set(jnp.where(starts_v, ulo,
-                                                K.SENTINEL))[:capacity]
-        summed = jnp.where(nuhi != K.SENTINEL, summed, 0)
-        return (nuhi, nulo, summed, n)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -154,9 +128,11 @@ def make_kmer_count_step(mesh: Mesh, k: int, capacity: int):
         g_uhi = jax.lax.all_gather(uhi, DATA_AXIS)     # (n_dev, cap)
         g_ulo = jax.lax.all_gather(ulo, DATA_AXIS)
         g_cnt = jax.lax.all_gather(cnt, DATA_AXIS)
-        acc = (g_uhi[0], g_ulo[0], g_cnt[0], n)
+        g_n = jax.lax.all_gather(n, DATA_AXIS)
+        acc = (g_uhi[0], g_ulo[0], g_cnt[0], g_n[0])
         for i in range(1, n_dev):
-            acc = merge_pair(acc, (g_uhi[i], g_ulo[i], g_cnt[i], n))
+            acc = merge_count_tables(acc[0], acc[1], acc[2], g_uhi[i],
+                                     g_ulo[i], g_cnt[i], capacity=capacity)
         return acc
 
     return jax.jit(step)
@@ -195,30 +171,33 @@ def make_stats_count_step(mesh: Mesh, k: int, capacity: int):
     return jax.jit(step)
 
 
-def make_pair_table_step(mesh: Mesh, *, n_d: int, capacity: int,
-                         max_d: int):
+def make_pair_table_step(mesh: Mesh, *, tile: int, capacity: int):
     """Sharded distance-pair counting (the unique-k-mer stage's device
-    step, stages/distance_graph.py): cloud-tensor rows (reads) split over
-    the data axis, per-shard (i, j, d) -> count tables merged with
-    all_gather + fold over ICI — the TPU redesign of the reference's 9h
-    serial dict loop (reference distance_based_kmer_recruitment.py:85-128)."""
+    step, stages/distance_graph.py): worklist entries (tile pairs) split
+    over the data axis, the flat cloud array replicated, per-shard
+    (i, j, d) -> count tables merged with all_gather + fold over ICI —
+    the TPU redesign of the reference's 9h serial dict loop (reference
+    distance_based_kmer_recruitment.py:85-128)."""
     from jax import shard_map
     from centroflye_tpu.ops.kmers import merge_count_tables
-    from centroflye_tpu.stages.distance_graph import _pairs_at_distances
+    from centroflye_tpu.stages.distance_graph import _pairs_from_tiles
 
     n_dev = mesh.devices.size
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS), P()),
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P()),
         out_specs=(P(), P(), P(), P()), check_vma=False)
-    def step(clouds, n_units, d0):
-        uhi, ulo, cnt, n = _pairs_at_distances(
-            clouds, n_units, d0, n_d=n_d, capacity=capacity, max_d=max_d)
+    def step(flat, base_a, base_b, dvals, strip_lo, strip_hi):
+        uhi, ulo, cnt, n = _pairs_from_tiles(
+            flat, base_a, base_b, dvals, strip_lo, strip_hi,
+            tile=tile, capacity=capacity)
         g_uhi = jax.lax.all_gather(uhi, DATA_AXIS)
         g_ulo = jax.lax.all_gather(ulo, DATA_AXIS)
         g_cnt = jax.lax.all_gather(cnt, DATA_AXIS)
-        acc = (g_uhi[0], g_ulo[0], g_cnt[0], n)
+        g_n = jax.lax.all_gather(n, DATA_AXIS)
+        acc = (g_uhi[0], g_ulo[0], g_cnt[0], g_n[0])
         for i in range(1, n_dev):
             acc = merge_count_tables(acc[0], acc[1], acc[2], g_uhi[i],
                                      g_ulo[i], g_cnt[i], capacity=capacity)

@@ -11,12 +11,37 @@ endpoint k-mers of surviving edges are the unique k-mers.
 TPU design: a pair observation is a single sortable key
     hi = i (k-mer index),  lo = (j << 8) | d     (j < 2^24, d < 2^8)
 so the whole tensor is a sorted fixed-capacity (hi, lo) -> count table built
-with ops/kmers.count_unique and merged associatively across read batches and
-across devices (the merge is a concat + 2-key resort + segment-sum: exact,
-deterministic, no hash collisions). Pair generation is a dense broadcast over
-the padded cloud tensor (R, T, K): for each d, keys = clouds[:, :-d, :, None]
-x clouds[:, d:, None, :] — all MXU/VPU-friendly regular work. The final
+with ops/kmers.count_unique and merged associatively across key chunks and
+across devices (the merge is a concat + 2-key resort + run compaction: exact,
+deterministic, no hash collisions).
+
+Pair generation is RAGGED-AWARE: clouds average far fewer k-mers than the
+padded width (measured ~67 of K=245 at 400-unit scale — a dense
+cloud x cloud broadcast wastes >90% of the sort volume on pad keys, and pad
+keys cost exactly as much as real keys once they enter the sort). Each
+cloud's front-compacted index row is split into fixed tiles of `tile`
+entries; the host enumerates, per distance d, the (tile-of-cloud-t,
+tile-of-cloud-(t+d)) work items actually populated — sizes are known on the
+host for free — and the device kernel gathers tile pairs from the flat
+cloud array and emits a (W, tile, tile) key block per chunk. Work scales
+with true pair observations (x a small tile-rounding factor), not with
+R*T*K^2. Worklist chunks have ONE static shape, so the whole sweep is one
+compile; chunks shard over the mesh data axis (parallel/mesh.
+make_pair_table_step) with all_gather+fold merges over ICI. The final
 filter is a segmented reduction over (i, j) groups of the sorted table.
+
+At production scale the distinct-key count exceeds any single on-device
+table (measured >2^27 distinct at a 400-unit array with 62k rare k-mers —
+a doubling accumulator OOMs HBM exactly like the reference's dicts OOM'd
+800GB of RAM). The sweep therefore STRIPES the key space by i-range:
+worklist entries are routed to strips via each A-tile's (min, max) index
+range (tiles are sorted, so the range test is two host gathers), every
+strip accumulates its own bounded table, and `recruit_unique_kmers`
+filters each strip ON DEVICE — groups (i, j) never straddle a strip, so
+the distance-consistency filter is strip-local and exact, and only the
+surviving edges (a few MB) ever reach the host. Memory is O(strip), the
+full table is never materialized, and strips are embarrassingly parallel
+across chips.
 """
 
 from __future__ import annotations
@@ -37,92 +62,114 @@ from centroflye_tpu.ops.kmers import (
 _SENT = 0xFFFFFFFF
 
 
-@functools.partial(jax.jit, static_argnames=("n_d", "capacity", "max_d"))
-def _pairs_at_distances(clouds: jnp.ndarray, n_units: jnp.ndarray,
-                        d0: jnp.ndarray,
-                        *, n_d: int, capacity: int, max_d: int):
-    """Count (i, j, d) keys for distances d0..d0+n_d-1 over a padded cloud
-    tensor in ONE kernel + ONE sort (fewer table merges: the merge cadence,
-    not pair generation, dominates wall-clock).
+@functools.partial(jax.jit, static_argnames=("tile", "capacity"))
+def _pairs_from_tiles(flat: jnp.ndarray, base_a: jnp.ndarray,
+                      base_b: jnp.ndarray, dvals: jnp.ndarray,
+                      strip_lo, strip_hi, *, tile: int, capacity: int):
+    """Count (i, j, d) keys for one worklist chunk of tile pairs.
 
-    clouds: (R, T, K) int32 indices, -1 padded. Returns a sorted
-    fixed-capacity key->count table (uhi, ulo, counts, n).
-    """
-    R, T, K = clouds.shape
-    # d0 is a traced scalar so ONE compiled shape serves all distance
-    # chunks (remote compiles are expensive); distances beyond max_d are
-    # masked out. Padding must cover the largest slice start d0+i <= max_d:
-    # dynamic_slice clamps out-of-range starts, so an undersized pad would
-    # silently alias every distance chunk onto the pad-width offset (all
-    # distances > pad width would read the wrong columns).
-    pad = jnp.full((R, max(max_d, n_d), K), -1, jnp.int32)
-    padded = jnp.concatenate([clouds, pad], axis=1)   # (R, T+max_d, K)
-    pos = jnp.arange(T, dtype=jnp.int32)[None, None, :, None, None]
-    nu = n_units[:, None, None, None, None]
-    a = clouds[:, None, :, :, None]                   # (R, 1, T, K, 1)
-    b = jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(padded, d0 + i, T, axis=1)
-         for i in range(n_d)], axis=1)                # (R, D, T, K)
-    b = b[:, :, :, None, :]                           # (R, D, T, 1, K)
-    ds = (d0 + jnp.arange(n_d, dtype=jnp.int32)
-          )[None, :, None, None, None]
-    valid = (a >= 0) & (b >= 0) & (a != b) & (pos + ds < nu) & \
-        (ds <= max_d)
-    hi = jnp.where(valid, a.astype(jnp.uint32) + jnp.uint32(0),
-                   jnp.uint32(_SENT))
+    flat: flattened cloud tensor (R*T*Kp + tile,) int32, -1 padded, the
+    trailing `tile` entries all -1 (the sentinel tile that padded worklist
+    entries point at). base_a/base_b: (W,) int32 flat offsets of the two
+    tiles; dvals: (W,) int32 unit distance per entry. Only keys with
+    i in [strip_lo, strip_hi) are counted (traced scalars: one compile
+    serves every strip). Returns a sorted fixed-capacity key->count
+    table (uhi, ulo, counts, n)."""
+    offs = jnp.arange(tile, dtype=jnp.int32)
+    a = flat[base_a[:, None] + offs[None, :]][:, :, None]  # (W, G, 1)
+    b = flat[base_b[:, None] + offs[None, :]][:, None, :]  # (W, 1, G)
+    dv = dvals[:, None, None].astype(jnp.uint32)
+    valid = (a >= 0) & (b >= 0) & (a != b) & \
+        (a >= strip_lo) & (a < strip_hi)
+    hi = jnp.where(valid, a.astype(jnp.uint32), jnp.uint32(_SENT))
     lo = jnp.where(
-        valid,
-        (b.astype(jnp.uint32) << jnp.uint32(8)) | ds.astype(jnp.uint32),
+        valid, (b.astype(jnp.uint32) << jnp.uint32(8)) | dv,
         jnp.uint32(_SENT))
     hi, lo = jnp.broadcast_arrays(hi, lo)
     return count_unique(hi.ravel(), lo.ravel(), capacity=capacity)
 
 
+def _tile_worklist(clouds_flat: np.ndarray, sizes: np.ndarray,
+                   nt: np.ndarray, n_units: np.ndarray, d: int,
+                   T: int, Kp: int, tile: int):
+    """Worklist of populated tile pairs at unit distance d.
+
+    nt: (R, T) tiles per cloud (ceil(size/tile), 0 for empty). Returns
+    (base_a, base_b, amin, amax) — int32 flat offsets into the padded
+    flat cloud array plus each A-tile's first/last index value (tiles are
+    sorted, so these bound the i-range the entry can emit — the strip
+    router's key) — or None when no cloud pair exists at this distance.
+    Pure vectorized numpy — cloud sizes live on the host anyway, and the
+    enumeration is tiny next to the device key volume it avoids."""
+    if d >= T:
+        return None
+    na = nt[:, :T - d].astype(np.int64)
+    nb = nt[:, d:].astype(np.int64)
+    ok = (np.arange(T - d, dtype=np.int64)[None, :] + d
+          ) < n_units[:, None]
+    cnt = np.where(ok, na * nb, 0).ravel()       # per (r, t) tile pairs
+    tot = int(cnt.sum())
+    if tot == 0:
+        return None
+    nz = np.flatnonzero(cnt)
+    reps = cnt[nz]
+    src = np.repeat(nz, reps)                    # flat (r, t) per entry
+    off = np.cumsum(reps) - reps
+    rank = np.arange(tot, dtype=np.int64) - np.repeat(off, reps)
+    nb_e = nb.ravel()[src]
+    ia = rank // nb_e
+    ib = rank - ia * nb_e
+    r = src // (T - d)
+    t = src - r * (T - d)
+    base_a = (r * T + t) * Kp + ia * tile
+    base_b = (r * T + t + d) * Kp + ib * tile
+    # A-tile value range: tiles are slices of a sorted cloud row, so the
+    # first element and the last VALID element (per-cloud size caps the
+    # final tile) bound every i this entry can emit — the strip router's
+    # key. size > ia*tile is guaranteed by construction (nt counts only
+    # populated tiles).
+    used = np.minimum(sizes.ravel()[r * T + t] - ia * tile, tile)
+    amin = clouds_flat[base_a]
+    amax = clouds_flat[base_a + used - 1]
+    return (base_a.astype(np.int32), base_b.astype(np.int32),
+            amin.astype(np.int32), amax.astype(np.int32))
+
+
 def estimate_pair_capacity(clouds_tensor: np.ndarray,
                            n_units: np.ndarray,
                            config: KmerRecruitmentConfig,
-                           *, cap: int = 1 << 24) -> int:
+                           *, cap: int = 1 << 26) -> int:
     """Static table capacity from cloud-size statistics: the distinct
     (i, j, d) key count is bounded by the total pair-observation count
     sum_r sum_d sum_t |cloud_t||cloud_{t+d}|, computable from the cloud
     sizes alone. Pre-sizing from this bound gives one compile per shape —
     no recompile-on-doubling at production scale."""
-    sizes = (clouds_tensor >= 0).sum(axis=2).astype(np.int64)   # (R, T)
-    pos = np.arange(sizes.shape[1])[None, :]
-    sizes = np.where(pos < np.asarray(n_units)[:, None], sizes, 0)
-    total = 0
-    for d in range(config.min_distance, config.max_distance + 1):
-        if d >= sizes.shape[1]:
-            break
-        total += int((sizes[:, :-d] * sizes[:, d:]).sum())
+    total = _pair_obs_bound(clouds_tensor, n_units, config)
     return 1 << max(16, int(np.ceil(np.log2(max(min(total, cap), 2)))))
 
 
-def build_distance_table(
+def _strip_sweep(
     clouds_tensor: np.ndarray,        # (R, T, K) int32, -1 padded
     n_units: np.ndarray,              # (R,) int32
     config: KmerRecruitmentConfig,
     *,
     capacity: Optional[int] = None,
-    batch_rows: Optional[int] = None,
-    d_chunk: int = 8,
-    element_budget: int = 256 << 20,
+    tile: int = 32,
+    entry_chunk: Optional[int] = None,
+    element_budget: int = 64 << 20,
+    strip_capacity: int = 1 << 25,
     mesh=None,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """Full (i, j, d) -> count table over all reads and distances.
+):
+    """Yield one sorted (i, j, d) -> count device table per i-range strip,
+    strips in ascending i order (so concatenating valid prefixes yields
+    the globally sorted table).
 
-    Returns (uhi, ulo, counts, n) sorted by (i, j, d); decode with
-    i = uhi, j = ulo >> 8, d = ulo & 0xFF.
-
-    capacity defaults to the pair-observation bound
-    (estimate_pair_capacity: a true upper bound on distinct keys, so no
-    recompiles) and still grows automatically (powers of two) if given
-    too small explicitly. batch_rows defaults to fitting
-    ``element_budget`` raw pair keys per kernel call (R * n_d * T * K^2
-    elements). With a `mesh`, batch rows shard over the data axis and
-    per-shard tables merge over ICI (parallel/mesh.make_pair_table_step)
-    — bit-identical to the single-device path.
-    """
+    The key space is striped by i so each strip's table is bounded: per
+    strip, its worklist entries (tile pairs whose A-tile range overlaps
+    the strip) stream through fixed-shape device chunks and merge into an
+    on-device accumulator — only the run-count scalar syncs to host per
+    merge. Doubling on overflow is the fallback; the pair-observation
+    bound sizes strips so it rarely fires."""
     R, T, K = clouds_tensor.shape
     # key packing is (i) x ((j << 8) | d) and the filter regroups by
     # (i << 24) | j — both alias silently if these bounds are exceeded
@@ -130,74 +177,120 @@ def build_distance_table(
         raise ValueError(
             f"max_distance {config.max_distance} >= 256 overflows the "
             "8-bit distance field of the packed key")
-    if clouds_tensor.size and int(clouds_tensor.max()) >= 1 << 24:
+    max_idx = int(clouds_tensor.max()) if clouds_tensor.size else 0
+    if max_idx >= 1 << 24:
         raise ValueError(
             "rare k-mer index >= 2^24 overflows the packed pair key")
+    bound = _pair_obs_bound(clouds_tensor, n_units, config)
     if capacity is None:
-        capacity = estimate_pair_capacity(clouds_tensor, n_units, config)
-    if batch_rows is None:
-        per_row = max(1, d_chunk * T * K * K)
-        batch_rows = max(1, min(R, element_budget // per_row))
+        capacity = 1 << max(
+            16, int(np.ceil(np.log2(max(min(bound, strip_capacity), 2)))))
+    n_strips = max(1, -(-bound // max(capacity, 1)))
+    strip_w = max(1, -(-(max_idx + 1) // n_strips))
+    n_strips = max(1, -(-(max_idx + 1) // strip_w))
 
     n_dev = 1
-    sharded_step = None
     if mesh is not None and mesh.devices.size > 1:
-        from centroflye_tpu.parallel.mesh import make_pair_table_step
         n_dev = int(mesh.devices.size)
-        batch_rows = -(-batch_rows // n_dev) * n_dev
-    acc = None
+    if entry_chunk is None:
+        entry_chunk = max(1, element_budget // (tile * tile))
+    entry_chunk = -(-entry_chunk // n_dev) * n_dev
+    # tail chunks use a 16x smaller shape: per-strip remainders would
+    # otherwise pad up to a full chunk each (S strips x chunk wasted keys)
+    tail_chunk = max(n_dev, entry_chunk // 16)
 
-    def emit(batch, nu, d0, cap):
-        nonlocal sharded_step
+    # flat cloud layout: K padded to a tile multiple so every tile gather
+    # stays inside its own cloud row; one trailing all(-1) sentinel tile
+    # absorbs worklist padding
+    Kp = -(-max(K, 1) // tile) * tile
+    flat_host = np.full((R, T, Kp), -1, np.int32)
+    flat_host[:, :, :K] = clouds_tensor
+    flat_host = np.concatenate(
+        [flat_host.ravel(), np.full(tile, -1, np.int32)])
+    sent_base = R * T * Kp
+    if int(np.int64(R) * T * Kp) + tile >= 1 << 31:
+        raise ValueError("flat cloud tensor exceeds int32 addressing")
+
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        flat_dev = jax.device_put(flat_host, NamedSharding(mesh, P()))
+    else:
+        flat_dev = jax.device_put(flat_host)
+
+    # per-cloud tile counts, masked to live unit instances
+    sizes = (clouds_tensor >= 0).sum(axis=2).astype(np.int64)  # (R, T)
+    live = np.arange(T, dtype=np.int64)[None, :] < \
+        np.asarray(n_units, np.int64)[:, None]
+    sizes = np.where(live, sizes, 0)
+    nt = -(-sizes // tile)
+
+    # full worklist across distances (distances >= T have no (t, t+d)
+    # pairs at all — the production max_distance=150 usually exceeds the
+    # unit count of most reads)
+    wls = []
+    d_hi = min(config.max_distance, T - 1)
+    for d in range(config.min_distance, d_hi + 1):
+        wl = _tile_worklist(flat_host, sizes, nt, n_units, d, T, Kp, tile)
+        if wl is None:
+            continue
+        wls.append(wl + (np.full(len(wl[0]), d, np.int32),))
+    if not wls:
+        e = jnp.full(capacity, _SENT, jnp.uint32)
+        yield e, e, jnp.zeros(capacity, jnp.int32), 0, capacity
+        return
+    all_a = np.concatenate([w[0] for w in wls])
+    all_b = np.concatenate([w[1] for w in wls])
+    all_min = np.concatenate([w[2] for w in wls])
+    all_max = np.concatenate([w[3] for w in wls])
+    all_d = np.concatenate([w[4] for w in wls])
+
+    sharded_steps = {}
+
+    def run_chunk(a, b, dv, s_lo, s_hi, cap):
         while True:
             if n_dev > 1:
                 from centroflye_tpu.parallel.mesh import (
-                    make_pair_table_step, pad_rows)
-                if sharded_step is None:
-                    sharded_step = make_pair_table_step(
-                        mesh, n_d=d_chunk, capacity=cap,
-                        max_d=config.max_distance)
-                batch_p = pad_rows(batch, n_dev, -1)
-                nu_p = pad_rows(nu, n_dev, 0)
-                uhi, ulo, cnt, n = sharded_step(batch_p, nu_p,
-                                                jnp.int32(d0))
+                    make_pair_table_step)
+                key = (len(a), cap)
+                if key not in sharded_steps:
+                    sharded_steps[key] = make_pair_table_step(
+                        mesh, tile=tile, capacity=cap)
+                uhi, ulo, cnt, n = sharded_steps[key](
+                    flat_dev, a, b, dv, jnp.int32(s_lo), jnp.int32(s_hi))
             else:
-                uhi, ulo, cnt, n = _pairs_at_distances(
-                    batch, nu, jnp.int32(d0), n_d=d_chunk, capacity=cap,
-                    max_d=config.max_distance)
+                uhi, ulo, cnt, n = _pairs_from_tiles(
+                    flat_dev, a, b, dv, jnp.int32(s_lo), jnp.int32(s_hi),
+                    tile=tile, capacity=cap)
             if int(n) <= cap:
                 return uhi, ulo, cnt, int(n), cap
             cap *= 2
-            sharded_step = None
 
-    # distances >= T have no (t, t+d) pairs at all — don't launch their
-    # chunks (the production max_distance=150 usually exceeds the unit
-    # count of most reads)
-    d_hi = min(config.max_distance, max(T - 1, config.min_distance))
-    for r0 in range(0, max(R, 1), batch_rows):
-        batch = clouds_tensor[r0:r0 + batch_rows]
-        nu = n_units[r0:r0 + batch_rows]
-        if batch.shape[0] == 0:
-            continue
-        if batch.shape[0] < batch_rows and R > batch_rows:
-            # pad the trailing short batch to the full batch shape: -1
-            # clouds generate no keys, and one shape means one compile
-            # (remote compiles cost ~30-90s each through the dev tunnel)
-            short = batch.shape[0]
-            batch = np.concatenate(
-                [batch, np.full((batch_rows - short, T, K), -1,
-                                np.int32)])
-            nu = np.concatenate(
-                [nu, np.zeros(batch_rows - short, np.int32)])
-        for d0 in range(config.min_distance, d_hi + 1, d_chunk):
-            uhi, ulo, cnt, n, capacity = emit(batch, nu, d0, capacity)
+    for s in range(n_strips):
+        s_lo, s_hi = s * strip_w, (s + 1) * strip_w
+        if n_strips == 1:
+            sel = slice(None)
+        else:
+            sel = (all_min < s_hi) & (all_max >= s_lo)
+        a, b, dv = all_a[sel], all_b[sel], all_d[sel]
+        acc = None
+        pos = 0
+        while pos < len(a):
+            size = entry_chunk if len(a) - pos >= entry_chunk else \
+                tail_chunk
+            ca, cb, cd = (a[pos:pos + size], b[pos:pos + size],
+                          dv[pos:pos + size])
+            pos += size
+            if len(ca) < size:
+                padn = size - len(ca)
+                ca = np.concatenate(
+                    [ca, np.full(padn, sent_base, np.int32)])
+                cb = np.concatenate(
+                    [cb, np.full(padn, sent_base, np.int32)])
+                cd = np.concatenate([cd, np.zeros(padn, np.int32)])
+            uhi, ulo, cnt, n, capacity = run_chunk(
+                ca, cb, cd, s_lo, s_hi, capacity)
             if n == 0:
                 continue
-            # the accumulator stays ON DEVICE across the whole sweep —
-            # only the run-count scalar syncs per merge. Materializing it
-            # per merge would move ~3*capacity*4B each way per chunk
-            # (hundreds of MB through a thin host link at production
-            # scale), dwarfing the sort time.
             if acc is None:
                 acc = (uhi, ulo, cnt, n)
             else:
@@ -209,11 +302,58 @@ def build_distance_table(
                         break
                     capacity *= 2
                 acc = (muhi, mulo, mcnt, int(mn))
-    if acc is None:
-        e = np.full(capacity, _SENT, np.uint32)
-        return e, e.copy(), np.zeros(capacity, np.int32), 0
-    return (np.asarray(acc[0]), np.asarray(acc[1]), np.asarray(acc[2]),
-            int(acc[3]))
+        if acc is not None:
+            yield acc[0], acc[1], acc[2], acc[3], capacity
+
+
+def _pair_obs_bound(clouds_tensor, n_units, config) -> int:
+    sizes = (clouds_tensor >= 0).sum(axis=2).astype(np.int64)   # (R, T)
+    pos = np.arange(sizes.shape[1])[None, :]
+    sizes = np.where(pos < np.asarray(n_units)[:, None], sizes, 0)
+    total = 0
+    for d in range(config.min_distance, config.max_distance + 1):
+        if d >= sizes.shape[1]:
+            break
+        total += int((sizes[:, :-d] * sizes[:, d:]).sum())
+    return total
+
+
+def build_distance_table(
+    clouds_tensor: np.ndarray,        # (R, T, K) int32, -1 padded
+    n_units: np.ndarray,              # (R,) int32
+    config: KmerRecruitmentConfig,
+    *,
+    capacity: Optional[int] = None,
+    tile: int = 32,
+    entry_chunk: Optional[int] = None,
+    element_budget: int = 64 << 20,
+    strip_capacity: int = 1 << 25,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Full (i, j, d) -> count table over all reads and distances,
+    MATERIALIZED to host numpy (use recruit_unique_kmers for the
+    production path — it filters each strip on device and never
+    materializes the table).
+
+    Returns (uhi, ulo, counts, n) sorted by (i, j, d), arrays of length
+    n; decode with i = uhi, j = ulo >> 8, d = ulo & 0xFF.
+    """
+    parts = []
+    total = 0
+    for uhi, ulo, cnt, n, _cap in _strip_sweep(
+            clouds_tensor, n_units, config, capacity=capacity, tile=tile,
+            entry_chunk=entry_chunk, element_budget=element_budget,
+            strip_capacity=strip_capacity, mesh=mesh):
+        if n:
+            parts.append((np.asarray(uhi[:n]), np.asarray(ulo[:n]),
+                          np.asarray(cnt[:n])))
+            total += n
+    if not parts:
+        e = np.empty(0, np.uint32)
+        return e, e.copy(), np.empty(0, np.int32), 0
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]), total)
 
 
 @dataclasses.dataclass
@@ -260,6 +400,58 @@ def filter_dist_tuples(
         freq=c_all[keep], unique_kmer_indices=uniq)
 
 
+@functools.partial(jax.jit, static_argnames=("use_frac", "out_capacity"))
+def _filter_table_device(uhi, ulo, cnt, min_cov, num, den, rel,
+                         *, use_frac: bool, out_capacity: int):
+    """Distance-consistency filter of one sorted strip table, ON DEVICE
+    (reference distance_based_kmer_recruitment.py:131-149): keep (i, j, d)
+    iff count >= min_coverage and count / sum_d'(count(i, j, d')) >=
+    rel_threshold. Groups (i, j) are contiguous (table sorted by (i,j,d))
+    and never straddle a strip (strips partition by i), so the filter is
+    strip-local and exact. When rel_threshold equals a small exact
+    fraction num/den (e.g. the default 0.8 = 4/5), the ratio test is the
+    integer cross-multiplication count*den >= all_occ*num — no float
+    rounding at the boundary. Returns compacted (i, j, d, freq) edge
+    arrays + the surviving-edge count."""
+    capacity = uhi.shape[0]
+    valid = uhi != SENTINEL
+    j = ulo >> jnp.uint32(8)
+    gstart = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (uhi[1:] != uhi[:-1]) | (j[1:] != j[:-1])]) & valid
+    gid = jnp.maximum(jnp.cumsum(gstart.astype(jnp.int32)) - 1, 0)
+    cnt_v = jnp.where(valid, cnt, 0)
+    all_occ = jax.ops.segment_sum(
+        cnt_v, gid, num_segments=capacity)[gid]
+    if use_frac:
+        ok_rel = cnt_v * den >= all_occ * num
+    else:
+        ok_rel = cnt_v.astype(jnp.float32) >= \
+            rel * all_occ.astype(jnp.float32)
+    keep = valid & (cnt_v >= min_cov) & ok_rel
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    pos = jnp.argsort(~keep, stable=True).astype(jnp.int32)
+    if pos.shape[0] < out_capacity:
+        pos = jnp.concatenate(
+            [pos, jnp.zeros((out_capacity - pos.shape[0],), jnp.int32)])
+    else:
+        pos = pos[:out_capacity]
+    is_e = jnp.arange(out_capacity, dtype=jnp.int32) < n_keep
+    out_i = jnp.where(is_e, uhi[pos], jnp.uint32(_SENT))
+    out_j = jnp.where(is_e, j[pos], jnp.uint32(_SENT))
+    out_d = jnp.where(is_e, ulo[pos] & jnp.uint32(0xFF), jnp.uint32(0))
+    out_c = jnp.where(is_e, cnt[pos], 0)
+    return out_i, out_j, out_d, out_c, n_keep
+
+
+def _rel_fraction(rel: float):
+    """(num, den, exact) — an exact small-fraction representation of the
+    rel threshold when one exists (the default 0.8 -> 4/5)."""
+    from fractions import Fraction
+    fr = Fraction(rel).limit_denominator(64)
+    return fr.numerator, fr.denominator, float(fr) == float(rel)
+
+
 def recruit_unique_kmers(
     clouds_tensor: np.ndarray,
     n_units: np.ndarray,
@@ -267,17 +459,52 @@ def recruit_unique_kmers(
     config: KmerRecruitmentConfig,
     *,
     capacity: Optional[int] = None,
-    batch_rows: Optional[int] = None,
+    entry_chunk: Optional[int] = None,
+    edge_capacity: int = 1 << 18,
     mesh=None,
 ) -> Tuple[np.ndarray, DistanceEdges]:
-    """End-to-end: distance table -> filter -> unique k-mer codes (sorted
-    uint64) + surviving edges."""
+    """End-to-end: strip-swept distance table -> per-strip ON-DEVICE
+    filter -> unique k-mer codes (sorted uint64) + surviving edges.
+    The (i, j, d) count table is never materialized to the host — only
+    the surviving edges cross the link (a few MB at production scale vs
+    GBs for the table)."""
     if len(rare_codes) >= 1 << 24:
         raise ValueError(
             "rare k-mer table >= 2^24 entries overflows the packed pair key")
-    uhi, ulo, cnt, n = build_distance_table(
-        clouds_tensor, n_units, config,
-        capacity=capacity, batch_rows=batch_rows, mesh=mesh)
-    edges = filter_dist_tuples(uhi, ulo, cnt, n, config)
+    num, den, exact = _rel_fraction(config.rel_threshold)
+    parts = []
+    for uhi, ulo, cnt, n, _cap in _strip_sweep(
+            clouds_tensor, n_units, config,
+            capacity=capacity, entry_chunk=entry_chunk, mesh=mesh):
+        if n == 0:
+            continue
+        out_cap = edge_capacity
+        while True:
+            oi, oj, od, oc, n_keep = _filter_table_device(
+                uhi, ulo, cnt, jnp.int32(config.min_coverage),
+                jnp.int32(num), jnp.int32(den),
+                jnp.float32(config.rel_threshold),
+                use_frac=exact, out_capacity=out_cap)
+            n_keep = int(n_keep)
+            if n_keep <= out_cap:
+                break
+            out_cap *= 2
+        if n_keep:
+            parts.append((np.asarray(oi[:n_keep]).astype(np.int64),
+                          np.asarray(oj[:n_keep]).astype(np.int64),
+                          np.asarray(od[:n_keep]).astype(np.int64),
+                          np.asarray(oc[:n_keep]).astype(np.int64)))
+    if not parts:
+        e = np.empty(0, np.int64)
+        edges = DistanceEdges(dist=np.empty(0, np.int32), i=e, j=e.copy(),
+                              freq=e.copy(), unique_kmer_indices=e.copy())
+        return rare_codes[edges.unique_kmer_indices], edges
+    sel_i = np.concatenate([p[0] for p in parts])
+    sel_j = np.concatenate([p[1] for p in parts])
+    sel_d = np.concatenate([p[2] for p in parts])
+    sel_c = np.concatenate([p[3] for p in parts])
+    uniq = np.unique(np.concatenate([sel_i, sel_j]))
+    edges = DistanceEdges(dist=sel_d.astype(np.int32), i=sel_i, j=sel_j,
+                          freq=sel_c, unique_kmer_indices=uniq)
     unique_codes = rare_codes[edges.unique_kmer_indices]
     return np.sort(unique_codes), edges

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from centroflye_tpu.config import KmerRecruitmentConfig
@@ -29,12 +31,23 @@ from centroflye_tpu.ops.kmers import (
 
 
 def _iter_batches(seqs: Sequence[str], batch_rows: int, pad_to: int):
+    """Fixed-shape batches: rows always batch_rows (empty-padded), columns
+    always the GLOBAL max length rounded to pad_to — one shape for the
+    whole sweep, one (remote) compile. Short rows cost only masked-out
+    windows on device; a per-batch shape would cost a fresh compile."""
+    L = max((len(s) for s in seqs), default=1)
+    L = max(pad_to, -(-L // pad_to) * pad_to)
     for i in range(0, len(seqs), batch_rows):
-        chunk = seqs[i:i + batch_rows]
-        L = max(len(s) for s in chunk)
-        L = max(pad_to, -(-L // pad_to) * pad_to)
+        chunk = list(seqs[i:i + batch_rows])
+        if len(chunk) < batch_rows and len(seqs) > batch_rows:
+            chunk += [""] * (batch_rows - len(chunk))
         codes, lens = encode_batch(chunk, max_len=L)
         yield i, codes, lens
+
+
+@jax.jit
+def _stack2(a, b):
+    return jnp.stack([a.astype(jnp.int32), b.astype(jnp.int32)], axis=1)
 
 
 def read_kmer_table(
@@ -77,24 +90,23 @@ def read_kmer_table(
             lens = pad_rows(lens, n_dev, 0)
             rid_rows = pad_rows(rid_rows, n_dev, 0)
             uhi, ulo, cnt2, n = step(codes, lens, rid_rows)
-            n_reads, n_multi = cnt2[:, 0], cnt2[:, 1]
         else:
             hi, lo, _ = pack_kmers(codes, lens, k=k)
             rid = np.broadcast_to(rid_rows, hi.shape)
             uhi, ulo, n_reads, n_multi, n = count_read_kmer_stats(
                 hi, lo, np.ascontiguousarray(rid), capacity=capacity)
+            cnt2 = _stack2(n_reads, n_multi)
         assert int(n) <= capacity, "k-mer table capacity overflow"
-        counts2 = np.stack([np.asarray(n_reads), np.asarray(n_multi)],
-                           axis=1).astype(np.int32)
+        # the accumulator stays ON DEVICE across the sweep — only the
+        # run-count scalar syncs per merge (materializing capacity-sized
+        # tables per batch moves ~100MB each way through the host link)
         if acc is None:
-            acc = (np.asarray(uhi), np.asarray(ulo), counts2, int(n))
+            acc = (uhi, ulo, cnt2, int(n))
         else:
             muhi, mulo, mcnt, mn = merge_count_tables(
-                acc[0], acc[1], acc[2], np.asarray(uhi), np.asarray(ulo),
-                counts2, capacity=capacity)
+                acc[0], acc[1], acc[2], uhi, ulo, cnt2, capacity=capacity)
             assert int(mn) <= capacity, "k-mer table capacity overflow"
-            acc = (np.asarray(muhi), np.asarray(mulo), np.asarray(mcnt),
-                   int(mn))
+            acc = (muhi, mulo, mcnt, int(mn))
 
     uhi, ulo, cnt, n = acc
     codes_u64, counts = table_to_numpy(uhi, ulo, cnt, n)

@@ -161,7 +161,7 @@ def test_clouds_and_distance_graph_vs_oracle(rng):
 
     r_ids, tensor, n_units, Kpad = pad_clouds(clouds, sorted(records))
     uhi, ulo, cnt, n = build_distance_table(
-        tensor, n_units, cfg, capacity=1 << 19, batch_rows=3)
+        tensor, n_units, cfg, capacity=1 << 19, entry_chunk=8)
     got_map = {}
     for t in range(n):
         i = int(uhi[t])
@@ -206,7 +206,7 @@ def test_distance_table_beyond_d_chunk(rng):
     cfg = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=12,
                                 min_coverage=1)
     uhi, ulo, cnt, n = build_distance_table(
-        tensor, n_units, cfg, capacity=1 << 16, batch_rows=2)
+        tensor, n_units, cfg, capacity=1 << 16, entry_chunk=4)
     got = {}
     for t in range(n):
         got[(int(uhi[t]), int(ulo[t]) >> 8, int(ulo[t]) & 0xFF)] = \
@@ -257,7 +257,7 @@ def test_unique_kmers_from_simulated_tandem(rng):
     clouds = build_read_clouds(records, rare, K)
     r_ids, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
     uniq_codes, edges = recruit_unique_kmers(
-        tensor, n_units, rare, cfg, capacity=1 << 20, batch_rows=12)
+        tensor, n_units, rare, cfg, capacity=1 << 20, entry_chunk=16)
     # unique k-mers must be a subset of rare and non-empty
     assert len(uniq_codes) > 0
     assert set(uniq_codes.tolist()) <= set(rare.tolist())

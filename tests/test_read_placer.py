@@ -79,7 +79,7 @@ def pipeline_state():
     clouds_rare = build_read_clouds(records, rare, K)
     _, tensor, n_units, _ = pad_clouds(clouds_rare, sorted(records))
     uniq_codes, edges = recruit_unique_kmers(
-        tensor, n_units, rare, cfg, capacity=1 << 20, batch_rows=16)
+        tensor, n_units, rare, cfg, capacity=1 << 20, entry_chunk=16)
     assert len(uniq_codes) > 50
 
     clouds = build_read_clouds(records, uniq_codes, K)
