@@ -48,6 +48,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -60,6 +62,7 @@ from centroflye_tpu.ops.kmers import (
 )
 
 _SENT = 0xFFFFFFFF
+logger = logging.getLogger("centroflye_tpu")
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "capacity"))
@@ -265,7 +268,12 @@ def _strip_sweep(
                 return uhi, ulo, cnt, int(n), cap
             cap *= 2
 
+    logger.info(
+        "distance sweep: %d worklist entries (tile=%d), %d strip(s), "
+        "capacity %d, pair-obs bound %d",
+        len(all_a), tile, n_strips, capacity, bound)
     for s in range(n_strips):
+        t_strip = time.perf_counter()
         s_lo, s_hi = s * strip_w, (s + 1) * strip_w
         if n_strips == 1:
             sel = slice(None)
@@ -302,6 +310,10 @@ def _strip_sweep(
                         break
                     capacity *= 2
                 acc = (muhi, mulo, mcnt, int(mn))
+        logger.info(
+            "distance strip %d/%d [%d, %d): %d entries, %d distinct, "
+            "%.1fs", s + 1, n_strips, s_lo, s_hi, len(a),
+            acc[3] if acc else 0, time.perf_counter() - t_strip)
         if acc is not None:
             yield acc[0], acc[1], acc[2], acc[3], capacity
 

@@ -70,7 +70,11 @@ def read_kmer_table(
                 np.empty(0, np.int64))
     total_windows = sum(max(0, len(s) - k + 1) for s in seqs)
     if capacity is None:
-        capacity = 1 << max(8, int(np.ceil(np.log2(max(total_windows, 2)))))
+        # distinct k-mers are far fewer than total windows at production
+        # scale (reads resample the same genome); start at a bounded
+        # estimate and let the doubling fallback below correct upward
+        capacity = 1 << max(
+            8, int(np.ceil(np.log2(max(min(total_windows, 1 << 24), 2)))))
 
     step = None
     n_dev = 1
@@ -84,28 +88,39 @@ def read_kmer_table(
     for row0, codes, lens in _iter_batches(seqs, batch_rows, 256):
         rid_rows = (np.arange(codes.shape[0], dtype=np.int32)[:, None]
                     + row0)
-        if step is not None:
-            from centroflye_tpu.parallel.mesh import pad_rows
-            codes = pad_rows(codes, n_dev, 4)
-            lens = pad_rows(lens, n_dev, 0)
-            rid_rows = pad_rows(rid_rows, n_dev, 0)
-            uhi, ulo, cnt2, n = step(codes, lens, rid_rows)
-        else:
-            hi, lo, _ = pack_kmers(codes, lens, k=k)
-            rid = np.broadcast_to(rid_rows, hi.shape)
-            uhi, ulo, n_reads, n_multi, n = count_read_kmer_stats(
-                hi, lo, np.ascontiguousarray(rid), capacity=capacity)
-            cnt2 = _stack2(n_reads, n_multi)
-        assert int(n) <= capacity, "k-mer table capacity overflow"
+        while True:
+            if step is not None:
+                from centroflye_tpu.parallel.mesh import pad_rows
+                codes_p = pad_rows(codes, n_dev, 4)
+                lens_p = pad_rows(lens, n_dev, 0)
+                rid_p = pad_rows(rid_rows, n_dev, 0)
+                uhi, ulo, cnt2, n = step(codes_p, lens_p, rid_p)
+            else:
+                hi, lo, _ = pack_kmers(codes, lens, k=k)
+                rid = np.broadcast_to(rid_rows, hi.shape)
+                uhi, ulo, n_reads, n_multi, n = count_read_kmer_stats(
+                    hi, lo, np.ascontiguousarray(rid), capacity=capacity)
+                cnt2 = _stack2(n_reads, n_multi)
+            if int(n) <= capacity:
+                break
+            capacity *= 2
+            if step is not None:
+                from centroflye_tpu.parallel.mesh import (
+                    make_stats_count_step)
+                step = make_stats_count_step(mesh, k, capacity)
         # the accumulator stays ON DEVICE across the sweep — only the
         # run-count scalar syncs per merge (materializing capacity-sized
         # tables per batch moves ~100MB each way through the host link)
         if acc is None:
             acc = (uhi, ulo, cnt2, int(n))
         else:
-            muhi, mulo, mcnt, mn = merge_count_tables(
-                acc[0], acc[1], acc[2], uhi, ulo, cnt2, capacity=capacity)
-            assert int(mn) <= capacity, "k-mer table capacity overflow"
+            while True:
+                muhi, mulo, mcnt, mn = merge_count_tables(
+                    acc[0], acc[1], acc[2], uhi, ulo, cnt2,
+                    capacity=capacity)
+                if int(mn) <= capacity:
+                    break
+                capacity *= 2
             acc = (muhi, mulo, mcnt, int(mn))
 
     uhi, ulo, cnt, n = acc

@@ -261,3 +261,57 @@ def test_unique_kmers_from_simulated_tandem(rng):
     # unique k-mers must be a subset of rare and non-empty
     assert len(uniq_codes) > 0
     assert set(uniq_codes.tolist()) <= set(rare.tolist())
+
+
+def test_multi_strip_sweep_and_device_filter(rng):
+    """Regression for the strip-swept sweep: with a capacity far below the
+    pair-observation bound the key space splits into several i-range
+    strips (tile A-ranges straddle strip boundaries and must be counted
+    exactly once); build_distance_table (host concat) and
+    recruit_unique_kmers (per-strip ON-DEVICE filter) must both match the
+    python oracle."""
+    from centroflye_tpu.stages.distance_graph import _pair_obs_bound
+    R, T, Kc = 6, 9, 23
+    n_kmers = 300
+    tensor = np.full((R, T, Kc), -1, np.int32)
+    n_units = np.zeros(R, np.int32)
+    cloud_lists = []
+    for r in range(R):
+        nu = int(rng.integers(T - 2, T + 1))
+        n_units[r] = nu
+        per_read = []
+        for t in range(nu):
+            sz = int(rng.integers(1, Kc + 1))
+            ids = np.sort(rng.choice(n_kmers, size=sz, replace=False))
+            tensor[r, t, :sz] = ids
+            per_read.append(set(int(x) for x in ids))
+        cloud_lists.append(per_read)
+    cfg = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=7,
+                                min_coverage=2)
+    bound = _pair_obs_bound(tensor, n_units, cfg)
+    cap = 1 << 10
+    assert bound // cap >= 3, "test must exercise >= 3 strips"
+    uhi, ulo, cnt, n = build_distance_table(
+        tensor, n_units, cfg, capacity=cap, entry_chunk=64, tile=8)
+    got = {}
+    for q in range(n):
+        got[(int(uhi[q]), int(ulo[q]) >> 8, int(ulo[q]) & 0xFF)] = \
+            int(cnt[q])
+    want = oracle_dist_map(cloud_lists, 1, 7)
+    assert got == dict(want)
+    # strips arrive in ascending i order -> globally sorted table
+    keys = [(int(uhi[q]), int(ulo[q])) for q in range(n)]
+    assert keys == sorted(keys)
+
+    rare_fake = np.arange(n_kmers, dtype=np.uint64)
+    uniq, edges = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg, capacity=cap, entry_chunk=64)
+    want_kept, want_kmers = oracle_filter(want, cfg.min_coverage,
+                                          cfg.rel_threshold)
+    got_kept = {(int(a), int(b), int(d)): int(f)
+                for a, b, d, f in zip(edges.i, edges.j, edges.dist,
+                                      edges.freq)}
+    assert got_kept == want_kept
+    assert set(int(i) for i in edges.unique_kmer_indices) == want_kmers
+    assert np.array_equal(uniq, np.sort(np.array(list(want_kmers),
+                                                 dtype=np.uint64)))
