@@ -171,7 +171,8 @@ def make_stats_count_step(mesh: Mesh, k: int, capacity: int):
     return jax.jit(step)
 
 
-def make_pair_table_step(mesh: Mesh, *, tile: int, capacity: int):
+def make_pair_table_step(mesh: Mesh, *, tile_a: int, tile_b: int,
+                         capacity: int):
     """Sharded distance-pair counting (the unique-k-mer stage's device
     step, stages/distance_graph.py): worklist entries (tile pairs) split
     over the data axis, the flat cloud array replicated, per-shard
@@ -192,7 +193,7 @@ def make_pair_table_step(mesh: Mesh, *, tile: int, capacity: int):
     def step(flat, base_a, base_b, dvals, strip_lo, strip_hi):
         uhi, ulo, cnt, n = _pairs_from_tiles(
             flat, base_a, base_b, dvals, strip_lo, strip_hi,
-            tile=tile, capacity=capacity)
+            tile_a=tile_a, tile_b=tile_b, capacity=capacity)
         g_uhi = jax.lax.all_gather(uhi, DATA_AXIS)
         g_ulo = jax.lax.all_gather(ulo, DATA_AXIS)
         g_cnt = jax.lax.all_gather(cnt, DATA_AXIS)

@@ -18,25 +18,26 @@ deterministic, no hash collisions).
 Pair generation is RAGGED-AWARE: clouds average far fewer k-mers than the
 padded width (measured ~67 of K=245 at 400-unit scale — a dense
 cloud x cloud broadcast wastes >90% of the sort volume on pad keys, and pad
-keys cost exactly as much as real keys once they enter the sort). Each
-cloud's front-compacted index row is split into fixed tiles of `tile`
-entries; the host enumerates, per distance d, the (tile-of-cloud-t,
-tile-of-cloud-(t+d)) work items actually populated — sizes are known on the
-host for free — and the device kernel gathers tile pairs from the flat
-cloud array and emits a (W, tile, tile) key block per chunk. Work scales
-with true pair observations (x a small tile-rounding factor), not with
-R*T*K^2. Worklist chunks have ONE static shape, so the whole sweep is one
-compile; chunks shard over the mesh data axis (parallel/mesh.
-make_pair_table_step) with all_gather+fold merges over ICI. The final
-filter is a segmented reduction over (i, j) groups of the sorted table.
+keys cost exactly as much as real keys once they enter the sort). The host
+enumerates, per distance d, the (tile-of-cloud-t, tile-of-cloud-(t+d))
+work items actually populated — sizes are known on the host for free —
+and the device kernel gathers tile pairs from a flat cloud array and
+emits a (W, tile_a, tile_b) key block per chunk. Work scales with true
+pair observations (x a small tile-rounding factor), not with R*T*K^2.
+Worklist chunks have ONE static shape, so the whole sweep is one compile;
+chunks shard over the mesh data axis (parallel/mesh.make_pair_table_step)
+with all_gather+fold merges over ICI. The final filter is a segmented
+reduction over (i, j) groups of the sorted table.
 
 At production scale the distinct-key count exceeds any single on-device
 table (measured >2^27 distinct at a 400-unit array with 62k rare k-mers —
 a doubling accumulator OOMs HBM exactly like the reference's dicts OOM'd
-800GB of RAM). The sweep therefore STRIPES the key space by i-range:
-worklist entries are routed to strips via each A-tile's (min, max) index
-range (tiles are sorted, so the range test is two host gathers), every
-strip accumulates its own bounded table, and `recruit_unique_kmers`
+800GB of RAM). The sweep therefore STRIPES the key space by i-range.
+Strip membership is exact by construction: cloud rows are sorted, so a
+strip's elements within a row form one contiguous segment (bounds read
+off host value-threshold counts); A-tiles slice that segment, B-tiles
+the full partner cloud, and no tile is emitted to more than one strip.
+Every strip accumulates its own bounded table, and `recruit_unique_kmers`
 filters each strip ON DEVICE — groups (i, j) never straddle a strip, so
 the distance-consistency filter is strip-local and exact, and only the
 surviving edges (a few MB) ever reach the host. Memory is O(strip), the
@@ -65,22 +66,27 @@ _SENT = 0xFFFFFFFF
 logger = logging.getLogger("centroflye_tpu")
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "capacity"))
+@functools.partial(jax.jit, static_argnames=("tile_a", "tile_b",
+                                              "capacity"))
 def _pairs_from_tiles(flat: jnp.ndarray, base_a: jnp.ndarray,
                       base_b: jnp.ndarray, dvals: jnp.ndarray,
-                      strip_lo, strip_hi, *, tile: int, capacity: int):
+                      strip_lo, strip_hi,
+                      *, tile_a: int, tile_b: int, capacity: int):
     """Count (i, j, d) keys for one worklist chunk of tile pairs.
 
-    flat: flattened cloud tensor (R*T*Kp + tile,) int32, -1 padded, the
-    trailing `tile` entries all -1 (the sentinel tile that padded worklist
-    entries point at). base_a/base_b: (W,) int32 flat offsets of the two
-    tiles; dvals: (W,) int32 unit distance per entry. Only keys with
-    i in [strip_lo, strip_hi) are counted (traced scalars: one compile
-    serves every strip). Returns a sorted fixed-capacity key->count
-    table (uhi, ulo, counts, n)."""
-    offs = jnp.arange(tile, dtype=jnp.int32)
-    a = flat[base_a[:, None] + offs[None, :]][:, :, None]  # (W, G, 1)
-    b = flat[base_b[:, None] + offs[None, :]][:, None, :]  # (W, 1, G)
+    flat: flattened cloud tensor (R*T*Kp + tile_b,) int32, -1 padded, the
+    trailing tile_b entries all -1 (the sentinel tile that padded
+    worklist entries point at). base_a/base_b: (W,) int32 flat offsets of
+    the A (strip segment, tile_a wide) and B (full cloud, tile_b wide)
+    tiles; dvals: (W,) int32 unit distance per entry. Keys are masked to
+    i in [strip_lo, strip_hi) (traced scalars: one compile serves every
+    strip) — for A-tiles sliced from a sorted row's strip segment this
+    only trims the segment's ragged tail. Returns a sorted
+    fixed-capacity key->count table (uhi, ulo, counts, n)."""
+    offs_a = jnp.arange(tile_a, dtype=jnp.int32)
+    offs_b = jnp.arange(tile_b, dtype=jnp.int32)
+    a = flat[base_a[:, None] + offs_a[None, :]][:, :, None]  # (W, Ga, 1)
+    b = flat[base_b[:, None] + offs_b[None, :]][:, None, :]  # (W, 1, Gb)
     dv = dvals[:, None, None].astype(jnp.uint32)
     valid = (a >= 0) & (b >= 0) & (a != b) & \
         (a >= strip_lo) & (a < strip_hi)
@@ -92,22 +98,23 @@ def _pairs_from_tiles(flat: jnp.ndarray, base_a: jnp.ndarray,
     return count_unique(hi.ravel(), lo.ravel(), capacity=capacity)
 
 
-def _tile_worklist(clouds_flat: np.ndarray, sizes: np.ndarray,
-                   nt: np.ndarray, n_units: np.ndarray, d: int,
-                   T: int, Kp: int, tile: int):
-    """Worklist of populated tile pairs at unit distance d.
+def _strip_worklist(seg_lo: np.ndarray, seg_len: np.ndarray,
+                    nt_b: np.ndarray, n_units: np.ndarray, d: int,
+                    T: int, Kp: int, tile_a: int, tile_b: int):
+    """Worklist of populated (A-segment-tile, B-cloud-tile) pairs at unit
+    distance d for one strip.
 
-    nt: (R, T) tiles per cloud (ceil(size/tile), 0 for empty). Returns
-    (base_a, base_b, amin, amax) — int32 flat offsets into the padded
-    flat cloud array plus each A-tile's first/last index value (tiles are
-    sorted, so these bound the i-range the entry can emit — the strip
-    router's key) — or None when no cloud pair exists at this distance.
-    Pure vectorized numpy — cloud sizes live on the host anyway, and the
-    enumeration is tiny next to the device key volume it avoids."""
+    seg_lo/seg_len: (R, T) start offset and length of each cloud row's
+    contiguous strip segment (rows are sorted, so a strip's elements form
+    one slice — computed on the host from value-threshold counts).
+    nt_b: (R, T) full-cloud B tile counts (ceil(size/tile_b)). Returns
+    (base_a, base_b) int32 flat offsets, or None if empty. Pure
+    vectorized numpy; strip membership is exact by construction, so no
+    cross-strip duplication of work."""
     if d >= T:
         return None
-    na = nt[:, :T - d].astype(np.int64)
-    nb = nt[:, d:].astype(np.int64)
+    na = (-(-seg_len[:, :T - d] // tile_a)).astype(np.int64)
+    nb = nt_b[:, d:].astype(np.int64)
     ok = (np.arange(T - d, dtype=np.int64)[None, :] + d
           ) < n_units[:, None]
     cnt = np.where(ok, na * nb, 0).ravel()       # per (r, t) tile pairs
@@ -124,18 +131,10 @@ def _tile_worklist(clouds_flat: np.ndarray, sizes: np.ndarray,
     ib = rank - ia * nb_e
     r = src // (T - d)
     t = src - r * (T - d)
-    base_a = (r * T + t) * Kp + ia * tile
-    base_b = (r * T + t + d) * Kp + ib * tile
-    # A-tile value range: tiles are slices of a sorted cloud row, so the
-    # first element and the last VALID element (per-cloud size caps the
-    # final tile) bound every i this entry can emit — the strip router's
-    # key. size > ia*tile is guaranteed by construction (nt counts only
-    # populated tiles).
-    used = np.minimum(sizes.ravel()[r * T + t] - ia * tile, tile)
-    amin = clouds_flat[base_a]
-    amax = clouds_flat[base_a + used - 1]
-    return (base_a.astype(np.int32), base_b.astype(np.int32),
-            amin.astype(np.int32), amax.astype(np.int32))
+    base_a = (r * T + t) * Kp + seg_lo[:, :T - d].ravel()[src] \
+        + ia * tile_a
+    base_b = (r * T + t + d) * Kp + ib * tile_b
+    return base_a.astype(np.int32), base_b.astype(np.int32)
 
 
 def estimate_pair_capacity(clouds_tensor: np.ndarray,
@@ -157,7 +156,8 @@ def _strip_sweep(
     config: KmerRecruitmentConfig,
     *,
     capacity: Optional[int] = None,
-    tile: int = 32,
+    tile_a: int = 8,
+    tile_b: int = 32,
     entry_chunk: Optional[int] = None,
     element_budget: int = 64 << 20,
     strip_capacity: int = 1 << 25,
@@ -167,9 +167,14 @@ def _strip_sweep(
     strips in ascending i order (so concatenating valid prefixes yields
     the globally sorted table).
 
-    The key space is striped by i so each strip's table is bounded: per
-    strip, its worklist entries (tile pairs whose A-tile range overlaps
-    the strip) stream through fixed-shape device chunks and merge into an
+    The key space is striped by i so each strip's table is bounded. Strip
+    membership is exact by construction: cloud rows are sorted, so a
+    strip's elements within a row form one contiguous segment whose
+    bounds the host reads off value-threshold counts — A-tiles slice the
+    segment (tile_a wide), B-tiles the full partner cloud (tile_b wide),
+    and no tile is ever emitted to more than one strip (value-range
+    routing would re-emit wide-spread tiles to ~every strip at production
+    scale). Chunks stream through fixed device shapes and merge into an
     on-device accumulator — only the run-count scalar syncs to host per
     merge. Doubling on overflow is the fallback; the pair-observation
     bound sizes strips so it rarely fires."""
@@ -196,22 +201,22 @@ def _strip_sweep(
     if mesh is not None and mesh.devices.size > 1:
         n_dev = int(mesh.devices.size)
     if entry_chunk is None:
-        entry_chunk = max(1, element_budget // (tile * tile))
+        entry_chunk = max(1, element_budget // (tile_a * tile_b))
     entry_chunk = -(-entry_chunk // n_dev) * n_dev
     # tail chunks use a 16x smaller shape: per-strip remainders would
     # otherwise pad up to a full chunk each (S strips x chunk wasted keys)
     tail_chunk = max(n_dev, entry_chunk // 16)
 
-    # flat cloud layout: K padded to a tile multiple so every tile gather
-    # stays inside its own cloud row; one trailing all(-1) sentinel tile
-    # absorbs worklist padding
-    Kp = -(-max(K, 1) // tile) * tile
+    # flat cloud layout: tile_a of slack beyond the tile_b-aligned width
+    # so A-tiles starting at any segment offset stay inside their own
+    # row; one trailing all(-1) sentinel tile absorbs worklist padding
+    Kp = -(-max(K, 1) // tile_b) * tile_b + tile_a
     flat_host = np.full((R, T, Kp), -1, np.int32)
     flat_host[:, :, :K] = clouds_tensor
     flat_host = np.concatenate(
-        [flat_host.ravel(), np.full(tile, -1, np.int32)])
+        [flat_host.ravel(), np.full(max(tile_a, tile_b), -1, np.int32)])
     sent_base = R * T * Kp
-    if int(np.int64(R) * T * Kp) + tile >= 1 << 31:
+    if int(np.int64(R) * T * Kp) + max(tile_a, tile_b) >= 1 << 31:
         raise ValueError("flat cloud tensor exceeds int32 addressing")
 
     if n_dev > 1:
@@ -220,32 +225,31 @@ def _strip_sweep(
     else:
         flat_dev = jax.device_put(flat_host)
 
-    # per-cloud tile counts, masked to live unit instances
+    # per-cloud sizes / B tile counts, masked to live unit instances
     sizes = (clouds_tensor >= 0).sum(axis=2).astype(np.int64)  # (R, T)
     live = np.arange(T, dtype=np.int64)[None, :] < \
         np.asarray(n_units, np.int64)[:, None]
     sizes = np.where(live, sizes, 0)
-    nt = -(-sizes // tile)
-
-    # full worklist across distances (distances >= T have no (t, t+d)
-    # pairs at all — the production max_distance=150 usually exceeds the
-    # unit count of most reads)
-    wls = []
+    nt_b = -(-sizes // tile_b)
     d_hi = min(config.max_distance, T - 1)
-    for d in range(config.min_distance, d_hi + 1):
-        wl = _tile_worklist(flat_host, sizes, nt, n_units, d, T, Kp, tile)
-        if wl is None:
-            continue
-        wls.append(wl + (np.full(len(wl[0]), d, np.int32),))
-    if not wls:
-        e = jnp.full(capacity, _SENT, jnp.uint32)
-        yield e, e, jnp.zeros(capacity, jnp.int32), 0, capacity
-        return
-    all_a = np.concatenate([w[0] for w in wls])
-    all_b = np.concatenate([w[1] for w in wls])
-    all_min = np.concatenate([w[2] for w in wls])
-    all_max = np.concatenate([w[3] for w in wls])
-    all_d = np.concatenate([w[4] for w in wls])
+
+    # per-strip contiguous segments of each sorted row: element counts
+    # below each strip boundary (vectorized value-threshold count; rows
+    # are sorted ascending with -1 padding at the back... -1 sorts as
+    # "invalid", counted via the >= 0 mask)
+    if n_strips > 1:
+        bounds = np.arange(1, n_strips, dtype=np.int64) * strip_w
+        vals = clouds_tensor.astype(np.int64)
+        vmask = vals >= 0
+        below = np.stack(
+            [((vals < v) & vmask).sum(axis=2) for v in bounds],
+            axis=2)                               # (R, T, S-1)
+        zeros = np.zeros_like(sizes)[:, :, None]
+        seg_los = np.concatenate([zeros, below], axis=2)      # (R, T, S)
+        seg_his = np.concatenate([below, sizes[:, :, None]], axis=2)
+    else:
+        seg_los = np.zeros_like(sizes)[:, :, None]
+        seg_his = sizes[:, :, None]
 
     sharded_steps = {}
 
@@ -257,29 +261,39 @@ def _strip_sweep(
                 key = (len(a), cap)
                 if key not in sharded_steps:
                     sharded_steps[key] = make_pair_table_step(
-                        mesh, tile=tile, capacity=cap)
+                        mesh, tile_a=tile_a, tile_b=tile_b, capacity=cap)
                 uhi, ulo, cnt, n = sharded_steps[key](
                     flat_dev, a, b, dv, jnp.int32(s_lo), jnp.int32(s_hi))
             else:
                 uhi, ulo, cnt, n = _pairs_from_tiles(
                     flat_dev, a, b, dv, jnp.int32(s_lo), jnp.int32(s_hi),
-                    tile=tile, capacity=cap)
+                    tile_a=tile_a, tile_b=tile_b, capacity=cap)
             if int(n) <= cap:
                 return uhi, ulo, cnt, int(n), cap
             cap *= 2
 
     logger.info(
-        "distance sweep: %d worklist entries (tile=%d), %d strip(s), "
-        "capacity %d, pair-obs bound %d",
-        len(all_a), tile, n_strips, capacity, bound)
+        "distance sweep: %d strip(s), tiles (%d, %d), capacity %d, "
+        "pair-obs bound %d", n_strips, tile_a, tile_b, capacity, bound)
+    yielded = False
     for s in range(n_strips):
         t_strip = time.perf_counter()
-        s_lo, s_hi = s * strip_w, (s + 1) * strip_w
-        if n_strips == 1:
-            sel = slice(None)
-        else:
-            sel = (all_min < s_hi) & (all_max >= s_lo)
-        a, b, dv = all_a[sel], all_b[sel], all_d[sel]
+        s_lo = s * strip_w
+        s_hi = (s + 1) * strip_w if n_strips > 1 else max(max_idx + 1, 1)
+        seg_lo = seg_los[:, :, s]
+        seg_len = seg_his[:, :, s] - seg_lo
+        wls = []
+        for d in range(config.min_distance, d_hi + 1):
+            wl = _strip_worklist(seg_lo, seg_len, nt_b, n_units, d,
+                                 T, Kp, tile_a, tile_b)
+            if wl is None:
+                continue
+            wls.append(wl + (np.full(len(wl[0]), d, np.int32),))
+        if not wls:
+            continue
+        a = np.concatenate([w[0] for w in wls])
+        b = np.concatenate([w[1] for w in wls])
+        dv = np.concatenate([w[2] for w in wls])
         acc = None
         pos = 0
         while pos < len(a):
@@ -315,7 +329,11 @@ def _strip_sweep(
             "%.1fs", s + 1, n_strips, s_lo, s_hi, len(a),
             acc[3] if acc else 0, time.perf_counter() - t_strip)
         if acc is not None:
+            yielded = True
             yield acc[0], acc[1], acc[2], acc[3], capacity
+    if not yielded:
+        e = jnp.full(capacity, _SENT, jnp.uint32)
+        yield e, e, jnp.zeros(capacity, jnp.int32), 0, capacity
 
 
 def _pair_obs_bound(clouds_tensor, n_units, config) -> int:
@@ -336,7 +354,8 @@ def build_distance_table(
     config: KmerRecruitmentConfig,
     *,
     capacity: Optional[int] = None,
-    tile: int = 32,
+    tile_a: int = 8,
+    tile_b: int = 32,
     entry_chunk: Optional[int] = None,
     element_budget: int = 64 << 20,
     strip_capacity: int = 1 << 25,
@@ -353,7 +372,8 @@ def build_distance_table(
     parts = []
     total = 0
     for uhi, ulo, cnt, n, _cap in _strip_sweep(
-            clouds_tensor, n_units, config, capacity=capacity, tile=tile,
+            clouds_tensor, n_units, config, capacity=capacity,
+            tile_a=tile_a, tile_b=tile_b,
             entry_chunk=entry_chunk, element_budget=element_budget,
             strip_capacity=strip_capacity, mesh=mesh):
         if n:

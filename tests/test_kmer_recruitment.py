@@ -292,7 +292,8 @@ def test_multi_strip_sweep_and_device_filter(rng):
     cap = 1 << 10
     assert bound // cap >= 3, "test must exercise >= 3 strips"
     uhi, ulo, cnt, n = build_distance_table(
-        tensor, n_units, cfg, capacity=cap, entry_chunk=64, tile=8)
+        tensor, n_units, cfg, capacity=cap, entry_chunk=64, tile_a=4,
+        tile_b=8)
     got = {}
     for q in range(n):
         got[(int(uhi[q]), int(ulo[q]) >> 8, int(ulo[q]) & 0xFF)] = \
