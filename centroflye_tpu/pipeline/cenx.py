@@ -147,10 +147,22 @@ class CenXPipeline:
                 print(s, file=f)
         edges_fn = os.path.join(
             outdir, f"unique_edges_min_edge_cov_{kcfg.min_coverage}.txt")
-        rare_strs = kmer_strings(rare, kcfg.k)
+        rare_strs = np.asarray(kmer_strings(rare, kcfg.k))
+        # vectorized formatting: edge files reach millions of rows at
+        # production scale (5.7M at the 400-unit benchmark), a per-row
+        # print() loop costs minutes there
         with open(edges_fn, "w") as f:
-            for d, i, j, c in zip(edges.dist, edges.i, edges.j, edges.freq):
-                print(d, rare_strs[int(i)], rare_strs[int(j)], c, file=f)
+            for e0 in range(0, len(edges.i), 1 << 20):
+                sl = slice(e0, e0 + (1 << 20))
+                cols = np.char.add(np.char.add(np.char.add(np.char.add(
+                    np.char.add(np.char.add(
+                        edges.dist[sl].astype(str), " "),
+                        rare_strs[edges.i[sl]]), " "),
+                    rare_strs[edges.j[sl]]), " "),
+                    edges.freq[sl].astype(str))
+                f.write("\n".join(cols.tolist()))
+                if len(cols):
+                    f.write("\n")
         return uniq_codes
 
     def run_placement(self, dec: Decomposition, uniq_codes: np.ndarray):
