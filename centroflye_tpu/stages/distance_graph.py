@@ -66,6 +66,10 @@ _SENT = 0xFFFFFFFF
 logger = logging.getLogger("centroflye_tpu")
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(int(x), 1)))))
+
+
 @functools.partial(jax.jit, static_argnames=("tile_a", "tile_b",
                                               "capacity"))
 def _pairs_from_tiles(flat: jnp.ndarray, base_a: jnp.ndarray,
@@ -253,7 +257,15 @@ def _strip_sweep(
 
     sharded_steps = {}
 
-    def run_chunk(a, b, dv, s_lo, s_hi, cap):
+    def run_chunk(a, b, dv, s_lo, s_hi):
+        """One worklist chunk -> (table, cap). The chunk table is sized to
+        the chunk's key volume (not the strip capacity): when the table
+        has a slot per emitted key, overflow is impossible and NO host
+        sync happens — the result streams into the merge forest with the
+        transfer still in flight."""
+        nonlocal capacity
+        keys = len(a) * tile_a * tile_b
+        cap = min(_next_pow2(keys), capacity)
         while True:
             if n_dev > 1:
                 from centroflye_tpu.parallel.mesh import (
@@ -268,9 +280,11 @@ def _strip_sweep(
                 uhi, ulo, cnt, n = _pairs_from_tiles(
                     flat_dev, a, b, dv, jnp.int32(s_lo), jnp.int32(s_hi),
                     tile_a=tile_a, tile_b=tile_b, capacity=cap)
-            if int(n) <= cap:
-                return uhi, ulo, cnt, int(n), cap
+            if cap >= keys or int(n) <= cap:
+                return (uhi, ulo, cnt), cap
             cap *= 2
+            if cap > capacity:
+                capacity = cap
 
     logger.info(
         "distance sweep: %d strip(s), tiles (%d, %d), capacity %d, "
@@ -294,7 +308,34 @@ def _strip_sweep(
         a = np.concatenate([w[0] for w in wls])
         b = np.concatenate([w[1] for w in wls])
         dv = np.concatenate([w[2] for w in wls])
-        acc = None
+
+        # binary-counter merge forest: chunk tables enter at their own
+        # (power-of-two) capacity and same-sized tables merge pairwise
+        # upward, so total merge cost is O(keys * log levels) — NOT
+        # O(chunks * strip_capacity) as a single running accumulator
+        # would cost. Sub-capacity merges cannot overflow (out capacity
+        # = sum of input capacities), so they need NO host sync; only
+        # capacity-saturated merges check-and-double.
+        forest: Dict[int, tuple] = {}
+
+        def merge_pair(ta, cap_a, tb, cap_b):
+            nonlocal capacity
+            out = min(_next_pow2(cap_a + cap_b), capacity)
+            while True:
+                m = merge_count_tables(ta[0], ta[1], ta[2],
+                                       tb[0], tb[1], tb[2], capacity=out)
+                if out >= cap_a + cap_b or int(m[3]) <= out:
+                    return (m[0], m[1], m[2]), out
+                out *= 2
+                if out > capacity:
+                    capacity = out
+
+        def insert(t, cap):
+            while cap in forest:
+                other = forest.pop(cap)
+                t, cap = merge_pair(other, cap, t, cap)
+            forest[cap] = t
+
         pos = 0
         while pos < len(a):
             size = entry_chunk if len(a) - pos >= entry_chunk else \
@@ -309,28 +350,26 @@ def _strip_sweep(
                 cb = np.concatenate(
                     [cb, np.full(padn, sent_base, np.int32)])
                 cd = np.concatenate([cd, np.zeros(padn, np.int32)])
-            uhi, ulo, cnt, n, capacity = run_chunk(
-                ca, cb, cd, s_lo, s_hi, capacity)
-            if n == 0:
-                continue
+            t, cap = run_chunk(ca, cb, cd, s_lo, s_hi)
+            insert(t, cap)
+
+        # fold surviving forest levels (ascending) into one table
+        acc, acc_cap, n = None, 0, 0
+        for cap in sorted(forest):
             if acc is None:
-                acc = (uhi, ulo, cnt, n)
+                acc, acc_cap = forest[cap], cap
             else:
-                while True:
-                    muhi, mulo, mcnt, mn = merge_count_tables(
-                        acc[0], acc[1], acc[2], uhi, ulo, cnt,
-                        capacity=capacity)
-                    if int(mn) <= capacity:
-                        break
-                    capacity *= 2
-                acc = (muhi, mulo, mcnt, int(mn))
+                acc, acc_cap = merge_pair(acc, acc_cap, forest[cap], cap)
+        if acc is not None:
+            n = int(jnp.sum((acc[0] != jnp.uint32(_SENT))
+                            .astype(jnp.int32)))
         logger.info(
             "distance strip %d/%d [%d, %d): %d entries, %d distinct, "
-            "%.1fs", s + 1, n_strips, s_lo, s_hi, len(a),
-            acc[3] if acc else 0, time.perf_counter() - t_strip)
-        if acc is not None:
+            "%.1fs", s + 1, n_strips, s_lo, s_hi, len(a), n,
+            time.perf_counter() - t_strip)
+        if acc is not None and n:
             yielded = True
-            yield acc[0], acc[1], acc[2], acc[3], capacity
+            yield acc[0], acc[1], acc[2], n, acc_cap
     if not yielded:
         e = jnp.full(capacity, _SENT, jnp.uint32)
         yield e, e, jnp.zeros(capacity, jnp.int32), 0, capacity
