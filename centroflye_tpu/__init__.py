@@ -22,4 +22,43 @@ Subpackages
 
 __version__ = "0.1.0"
 
-from centroflye_tpu.config import CentroFlyeConfig  # noqa: F401
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    The sweep kernels compile large sorted-table programs (100s+ cold on
+    a TPU backend); the cache amortizes those compiles across processes
+    and pipeline stages. Opt out with CENTROFLYE_JAX_CACHE=0, or point
+    CENTROFLYE_JAX_CACHE at a directory. Never overrides an explicit
+    jax_compilation_cache_dir already configured by the user."""
+    spec = _os.environ.get("CENTROFLYE_JAX_CACHE", "")
+    if spec == "0":
+        return
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir:
+            return
+        # scope by requested platform: CPU AOT executables embed host
+        # machine features and must not be shared with entries written
+        # under another backend's compile options (the loader warns of
+        # possible SIGILL on mismatch)
+        plat = _os.environ.get("JAX_PLATFORMS", "auto").replace(",", "-") \
+            or "auto"
+        path = spec or _os.path.join(
+            _os.path.expanduser("~"), ".cache", "centroflye_tpu",
+            f"jax_cache_{plat}")
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything, including sub-second compiles: pipeline runs
+        # touch many small shapes and re-tracing dominates cold starts
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:           # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
+from centroflye_tpu.config import CentroFlyeConfig  # noqa: F401,E402

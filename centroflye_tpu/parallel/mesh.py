@@ -171,29 +171,34 @@ def make_stats_count_step(mesh: Mesh, k: int, capacity: int):
     return jax.jit(step)
 
 
-def make_pair_table_step(mesh: Mesh, *, tile_a: int, tile_b: int,
-                         capacity: int):
+def make_pair_bucket_step(mesh: Mesh, *, chunk: int, capacity: int):
     """Sharded distance-pair counting (the unique-k-mer stage's device
-    step, stages/distance_graph.py): worklist entries (tile pairs) split
-    over the data axis, the flat cloud array replicated, per-shard
-    (i, j, d) -> count tables merged with all_gather + fold over ICI —
-    the TPU redesign of the reference's 9h serial dict loop (reference
+    step, stages/distance_graph.py): the chunk's flat pair range splits
+    over the data axis (each shard enumerates its consecutive sub-range
+    of pair indices from the replicated bucket list), the flat cloud
+    array is replicated, and per-shard (i, j, d) -> count tables merge
+    with all_gather + fold over ICI — the TPU redesign of the
+    reference's 9h serial dict loop (reference
     distance_based_kmer_recruitment.py:85-128)."""
     from jax import shard_map
     from centroflye_tpu.ops.kmers import merge_count_tables
-    from centroflye_tpu.stages.distance_graph import _pairs_from_tiles
+    from centroflye_tpu.stages.distance_graph import (
+        _pairs_from_buckets_core)
 
-    n_dev = mesh.devices.size
+    n_dev = int(mesh.devices.size)
+    assert chunk % n_dev == 0, (chunk, n_dev)
+    local = chunk // n_dev
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()), check_vma=False)
-    def step(flat, base_a, base_b, dvals, strip_lo, strip_hi):
-        uhi, ulo, cnt, n = _pairs_from_tiles(
-            flat, base_a, base_b, dvals, strip_lo, strip_hi,
-            tile_a=tile_a, tile_b=tile_b, capacity=capacity)
+    def step(flat, starts, base_a, base_b, nbv, dvals, c0, total):
+        idx = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        uhi, ulo, cnt, n = _pairs_from_buckets_core(
+            flat, starts, base_a, base_b, nbv, dvals,
+            c0 + idx * jnp.int32(local), total,
+            chunk=local, capacity=capacity)
         g_uhi = jax.lax.all_gather(uhi, DATA_AXIS)
         g_ulo = jax.lax.all_gather(ulo, DATA_AXIS)
         g_cnt = jax.lax.all_gather(cnt, DATA_AXIS)

@@ -15,17 +15,20 @@ with ops/kmers.count_unique and merged associatively across key chunks and
 across devices (the merge is a concat + 2-key resort + run compaction: exact,
 deterministic, no hash collisions).
 
-Pair generation is RAGGED-AWARE: clouds average far fewer k-mers than the
+Pair generation is EXACT-RAGGED: clouds average far fewer k-mers than the
 padded width (measured ~67 of K=245 at 400-unit scale — a dense
 cloud x cloud broadcast wastes >90% of the sort volume on pad keys, and pad
-keys cost exactly as much as real keys once they enter the sort). The host
-enumerates, per distance d, the (tile-of-cloud-t, tile-of-cloud-(t+d))
-work items actually populated — sizes are known on the host for free —
-and the device kernel gathers tile pairs from a flat cloud array and
-emits a (W, tile_a, tile_b) key block per chunk. Work scales with true
-pair observations (x a small tile-rounding factor), not with R*T*K^2.
-Worklist chunks have ONE static shape, so the whole sweep is one compile;
-chunks shard over the mesh data axis (parallel/mesh.make_pair_table_step)
+keys cost exactly as much as real keys once they enter the sort; even an
+8x32 tile outer product pays ~7x slack at production raggedness). The host
+ships, per strip, one flat BUCKET LIST — a bucket per populated
+(read, unit t, distance d) triple with a pair-count cumsum — and the
+device enumerates the strip's pair-index range [0, total) in static-size
+chunks: a scatter+cumsum of bucket boundaries assigns each pair index its
+bucket, a divmod decodes the (segment element, cloud element) pair, and
+two gathers fetch the codes. Every key entering a sort is a true pair
+observation; per-chunk host traffic is two scalars. Chunks have ONE
+static shape, so the whole sweep is a handful of compiles; the pair range
+shards over the mesh data axis (parallel/mesh.make_pair_bucket_step)
 with all_gather+fold merges over ICI. The final filter is a segmented
 reduction over (i, j) groups of the sorted table.
 
@@ -70,75 +73,109 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(int(x), 1)))))
 
 
-@functools.partial(jax.jit, static_argnames=("tile_a", "tile_b",
-                                              "capacity"))
-def _pairs_from_tiles(flat: jnp.ndarray, base_a: jnp.ndarray,
-                      base_b: jnp.ndarray, dvals: jnp.ndarray,
-                      strip_lo, strip_hi,
-                      *, tile_a: int, tile_b: int, capacity: int):
-    """Count (i, j, d) keys for one worklist chunk of tile pairs.
+def _pairs_from_buckets_core(flat, starts, base_a, base_b, nbv, dvals,
+                             c0, total, *, chunk: int, capacity: int):
+    """Count (i, j, d) keys for one chunk of the strip's flat pair range.
 
-    flat: flattened cloud tensor (R*T*Kp + tile_b,) int32, -1 padded, the
-    trailing tile_b entries all -1 (the sentinel tile that padded
-    worklist entries point at). base_a/base_b: (W,) int32 flat offsets of
-    the A (strip segment, tile_a wide) and B (full cloud, tile_b wide)
-    tiles; dvals: (W,) int32 unit distance per entry. Keys are masked to
-    i in [strip_lo, strip_hi) (traced scalars: one compile serves every
-    strip) — for A-tiles sliced from a sorted row's strip segment this
-    only trims the segment's ragged tail. Returns a sorted
-    fixed-capacity key->count table (uhi, ulo, counts, n)."""
-    offs_a = jnp.arange(tile_a, dtype=jnp.int32)
-    offs_b = jnp.arange(tile_b, dtype=jnp.int32)
-    a = flat[base_a[:, None] + offs_a[None, :]][:, :, None]  # (W, Ga, 1)
-    b = flat[base_b[:, None] + offs_b[None, :]][:, None, :]  # (W, 1, Gb)
-    dv = dvals[:, None, None].astype(jnp.uint32)
-    valid = (a >= 0) & (b >= 0) & (a != b) & \
-        (a >= strip_lo) & (a < strip_hi)
+    EXACT ragged enumeration: pair p in [c0, c0+chunk) belongs to bucket
+    e(p) = the (read, unit, distance) triple whose half-open pair range
+    [starts[e], starts[e+1]) contains p; within the bucket, the pair is
+    (x, y) = divmod(p - starts[e], nb[e]) — element x of the A strip
+    segment crossed with element y of the B cloud. Every emitted key is a
+    true pair observation (the only waste is the masked tail of the last
+    chunk), unlike a tile outer product whose slack pays full sort cost
+    per pad key (~7x of the volume at production cloud raggedness).
+
+    Bucket assignment is scatter+cumsum, not searchsorted or per-pair
+    table gathers: each per-bucket value v[e(p)] is reconstructed by
+    scattering the bucket-to-bucket DELTAS v[i] - v[i-1] at the bucket
+    boundary positions and prefix-summing along the chunk — O(E + chunk)
+    adds instead of chunk random gathers (measured ~0.7s per 33M-element
+    gather on-chip vs ~0.05s per scatter+scan). Boundaries before the
+    chunk clip to slot 0 (their deltas accumulate there), boundaries
+    beyond it drop; empty buckets' deltas land on one slot and collapse
+    correctly. starts: (E+1,) int32 nondecreasing with starts[0] == 0,
+    padded past the real bucket count with `total`; base_a/base_b: (E,)
+    int32 flat offsets of the A segment and B cloud; nbv: (E,) int32
+    B-cloud sizes (>= 1); dvals: (E,) int32 unit distances. c0/total are
+    traced scalars — one compile serves every chunk and strip. Returns a
+    sorted fixed-capacity (i, (j<<8)|d) -> count table
+    (uhi, ulo, counts, n)."""
+    p = jnp.arange(chunk, dtype=jnp.int32) + c0
+    # inter-bucket boundaries only: bucket i (i >= 1) begins at starts[i];
+    # starts[E] is the end of the range, not a boundary
+    bpos = jnp.maximum(starts[1:-1] - c0, 0)
+
+    def fill(vals):
+        """vals: (E,) int32 per-bucket -> (chunk,) int32 vals[e(p)]."""
+        deltas = vals[1:] - vals[:-1]
+        grid = jnp.zeros((chunk,), jnp.int32)
+        grid = grid.at[0].add(vals[0])
+        grid = grid.at[bpos].add(deltas, mode="drop")
+        return jnp.cumsum(grid)
+
+    st = fill(starts[:-1])
+    off = p - st                       # < seg_len*nb <= K^2 < 2^24
+    nbq = jnp.maximum(fill(nbv), 1)
+    base_a_e = fill(base_a)
+    base_b_e = fill(base_b)
+    # x = off // nbq via f32 estimate + exact +-1 correction (int32
+    # divide has no native TPU datapath; off and nbq are exact in f32
+    # for K <= 4000, enforced by the sweep)
+    x = (off.astype(jnp.float32) / nbq.astype(jnp.float32)) \
+        .astype(jnp.int32)
+    x = jnp.where(x * nbq > off, x - 1, x)
+    x = jnp.where((x + 1) * nbq <= off, x + 1, x)
+    y = off - x * nbq
+    a = flat[jnp.maximum(base_a_e + x, 0)]
+    b = flat[jnp.maximum(base_b_e + y, 0)]
+    dv = fill(dvals).astype(jnp.uint32)
+    valid = (p < total) & (a != b)
     hi = jnp.where(valid, a.astype(jnp.uint32), jnp.uint32(_SENT))
     lo = jnp.where(
         valid, (b.astype(jnp.uint32) << jnp.uint32(8)) | dv,
         jnp.uint32(_SENT))
-    hi, lo = jnp.broadcast_arrays(hi, lo)
-    return count_unique(hi.ravel(), lo.ravel(), capacity=capacity)
+    return count_unique(hi, lo, capacity=capacity)
 
 
-def _strip_worklist(seg_lo: np.ndarray, seg_len: np.ndarray,
-                    nt_b: np.ndarray, n_units: np.ndarray, d: int,
-                    T: int, Kp: int, tile_a: int, tile_b: int):
-    """Worklist of populated (A-segment-tile, B-cloud-tile) pairs at unit
-    distance d for one strip.
+_pairs_from_buckets = jax.jit(
+    _pairs_from_buckets_core, static_argnames=("chunk", "capacity"))
 
-    seg_lo/seg_len: (R, T) start offset and length of each cloud row's
-    contiguous strip segment (rows are sorted, so a strip's elements form
-    one slice — computed on the host from value-threshold counts).
-    nt_b: (R, T) full-cloud B tile counts (ceil(size/tile_b)). Returns
-    (base_a, base_b) int32 flat offsets, or None if empty. Pure
-    vectorized numpy; strip membership is exact by construction, so no
-    cross-strip duplication of work."""
-    if d >= T:
+
+def _strip_buckets(seg_lo: np.ndarray, seg_len: np.ndarray,
+                   sizes: np.ndarray, n_units: np.ndarray,
+                   min_d: int, d_hi: int, T: int, Kp: int):
+    """Pair buckets of one strip: every populated (read, unit t, distance
+    d) triple contributes seg_len[r, t] * sizes[r, t+d] ordered pairs
+    (A = the row's contiguous strip segment, B = the full partner cloud —
+    rows are sorted with -1 padding behind the valid entries, so both are
+    contiguous slices). Returns (counts int64, base_a, base_b, nb, dv)
+    flat arrays over nonzero buckets, or None if the strip is empty.
+    Pure vectorized numpy; strip membership is exact by construction."""
+    parts = []
+    for d in range(min_d, min(d_hi, T - 1) + 1):
+        na = seg_len[:, :T - d].astype(np.int64)
+        nb = sizes[:, d:].astype(np.int64)
+        ok = (np.arange(T - d, dtype=np.int64)[None, :] + d
+              ) < n_units[:, None]
+        cnt = np.where(ok, na * nb, 0).ravel()
+        nz = np.flatnonzero(cnt)
+        if nz.size == 0:
+            continue
+        r = nz // (T - d)
+        t = nz - r * (T - d)
+        parts.append((
+            cnt[nz],
+            ((r * T + t) * Kp
+             + seg_lo[:, :T - d].ravel()[nz]).astype(np.int32),
+            ((r * T + t + d) * Kp).astype(np.int32),
+            nb.ravel()[nz].astype(np.int32),
+            np.full(nz.size, d, np.int32),
+        ))
+    if not parts:
         return None
-    na = (-(-seg_len[:, :T - d] // tile_a)).astype(np.int64)
-    nb = nt_b[:, d:].astype(np.int64)
-    ok = (np.arange(T - d, dtype=np.int64)[None, :] + d
-          ) < n_units[:, None]
-    cnt = np.where(ok, na * nb, 0).ravel()       # per (r, t) tile pairs
-    tot = int(cnt.sum())
-    if tot == 0:
-        return None
-    nz = np.flatnonzero(cnt)
-    reps = cnt[nz]
-    src = np.repeat(nz, reps)                    # flat (r, t) per entry
-    off = np.cumsum(reps) - reps
-    rank = np.arange(tot, dtype=np.int64) - np.repeat(off, reps)
-    nb_e = nb.ravel()[src]
-    ia = rank // nb_e
-    ib = rank - ia * nb_e
-    r = src // (T - d)
-    t = src - r * (T - d)
-    base_a = (r * T + t) * Kp + seg_lo[:, :T - d].ravel()[src] \
-        + ia * tile_a
-    base_b = (r * T + t + d) * Kp + ib * tile_b
-    return base_a.astype(np.int32), base_b.astype(np.int32)
+    return tuple(np.concatenate([p[i] for p in parts])
+                 for i in range(5))
 
 
 def estimate_pair_capacity(clouds_tensor: np.ndarray,
@@ -160,10 +197,10 @@ def _strip_sweep(
     config: KmerRecruitmentConfig,
     *,
     capacity: Optional[int] = None,
-    tile_a: int = 8,
-    tile_b: int = 32,
+    tile_a: int = 8,                  # back-compat, unused: pair
+    tile_b: int = 32,                 # emission is exact, not tiled
     entry_chunk: Optional[int] = None,
-    element_budget: int = 64 << 20,
+    element_budget: int = 32 << 20,
     strip_capacity: int = 1 << 25,
     mesh=None,
 ):
@@ -174,14 +211,18 @@ def _strip_sweep(
     The key space is striped by i so each strip's table is bounded. Strip
     membership is exact by construction: cloud rows are sorted, so a
     strip's elements within a row form one contiguous segment whose
-    bounds the host reads off value-threshold counts — A-tiles slice the
-    segment (tile_a wide), B-tiles the full partner cloud (tile_b wide),
-    and no tile is ever emitted to more than one strip (value-range
-    routing would re-emit wide-spread tiles to ~every strip at production
-    scale). Chunks stream through fixed device shapes and merge into an
-    on-device accumulator — only the run-count scalar syncs to host per
-    merge. Doubling on overflow is the fallback; the pair-observation
-    bound sizes strips so it rarely fires."""
+    bounds the host reads off value-threshold counts. Pair emission is
+    EXACT: per strip the host ships one flat bucket list (a bucket =
+    one populated (read, unit, distance) triple with its pair-count
+    cumsum), and the device enumerates pair indices [0, total) in static
+    chunks, decoding each index to its (segment element, cloud element)
+    pair — every key entering a sort is a true pair observation, so sort
+    volume equals the pair-observation bound instead of the ~7x tile
+    outer-product slack, and per-chunk host uploads shrink to two
+    scalars. entry_chunk counts PAIRS per device chunk. Chunk tables are
+    sized to the chunk (overflow impossible — no host syncs) and merge
+    into a binary forest; doubling on overflow remains the fallback for
+    capacity-saturated merges only."""
     R, T, K = clouds_tensor.shape
     # key packing is (i) x ((j << 8) | d) and the filter regroups by
     # (i << 24) | j — both alias silently if these bounds are exceeded
@@ -193,6 +234,18 @@ def _strip_sweep(
     if max_idx >= 1 << 24:
         raise ValueError(
             "rare k-mer index >= 2^24 overflows the packed pair key")
+    if K > 4000:
+        # in-bucket offsets must stay exact in f32 (the device divide)
+        raise ValueError(f"cloud width {K} > 4000 unsupported")
+    # canonicalize rows: ascending valid entries front-packed, -1 pads
+    # behind (strip segments and B-cloud slices index contiguous valid
+    # prefixes; pad_clouds already emits this layout, synthetic callers
+    # may not; within-cloud order cannot change any (i, j, d) count)
+    if clouds_tensor.size:
+        srt = np.sort(clouds_tensor, axis=2)      # any -1 pads sort first
+        n_inv = (srt < 0).sum(axis=2, keepdims=True)
+        idx = (np.arange(K, dtype=np.int64)[None, None, :] + n_inv) % K
+        clouds_tensor = np.take_along_axis(srt, idx, axis=2)
     bound = _pair_obs_bound(clouds_tensor, n_units, config)
     if capacity is None:
         capacity = 1 << max(
@@ -205,36 +258,33 @@ def _strip_sweep(
     if mesh is not None and mesh.devices.size > 1:
         n_dev = int(mesh.devices.size)
     if entry_chunk is None:
-        entry_chunk = max(1, element_budget // (tile_a * tile_b))
+        entry_chunk = max(1, min(element_budget, capacity))
     entry_chunk = -(-entry_chunk // n_dev) * n_dev
     # tail chunks use a 16x smaller shape: per-strip remainders would
     # otherwise pad up to a full chunk each (S strips x chunk wasted keys)
-    tail_chunk = max(n_dev, entry_chunk // 16)
+    tail_chunk = -(-max(n_dev, entry_chunk // 16) // n_dev) * n_dev
 
-    # flat cloud layout: tile_a of slack beyond the tile_b-aligned width
-    # so A-tiles starting at any segment offset stay inside their own
-    # row; one trailing all(-1) sentinel tile absorbs worklist padding
-    Kp = -(-max(K, 1) // tile_b) * tile_b + tile_a
-    flat_host = np.full((R, T, Kp), -1, np.int32)
-    flat_host[:, :, :K] = clouds_tensor
-    flat_host = np.concatenate(
-        [flat_host.ravel(), np.full(max(tile_a, tile_b), -1, np.int32)])
-    sent_base = R * T * Kp
-    if int(np.int64(R) * T * Kp) + max(tile_a, tile_b) >= 1 << 31:
+    Kp = max(K, 1)
+    flat_host = np.ascontiguousarray(
+        clouds_tensor.reshape(-1), dtype=np.int32)
+    if flat_host.size == 0:
+        flat_host = np.full(1, -1, np.int32)
+    if int(np.int64(R) * T * Kp) >= 1 << 31:
         raise ValueError("flat cloud tensor exceeds int32 addressing")
 
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
         flat_dev = jax.device_put(flat_host, NamedSharding(mesh, P()))
+        repl = NamedSharding(mesh, P())
     else:
         flat_dev = jax.device_put(flat_host)
+        repl = None
 
-    # per-cloud sizes / B tile counts, masked to live unit instances
+    # per-cloud sizes, masked to live unit instances
     sizes = (clouds_tensor >= 0).sum(axis=2).astype(np.int64)  # (R, T)
     live = np.arange(T, dtype=np.int64)[None, :] < \
         np.asarray(n_units, np.int64)[:, None]
     sizes = np.where(live, sizes, 0)
-    nt_b = -(-sizes // tile_b)
     d_hi = min(config.max_distance, T - 1)
 
     # per-strip contiguous segments of each sorted row: element counts
@@ -257,38 +307,38 @@ def _strip_sweep(
 
     sharded_steps = {}
 
-    def run_chunk(a, b, dv, s_lo, s_hi):
-        """One worklist chunk -> (table, cap). The chunk table is sized to
-        the chunk's key volume (not the strip capacity): when the table
-        has a slot per emitted key, overflow is impossible and NO host
-        sync happens — the result streams into the merge forest with the
-        transfer still in flight."""
+    def run_chunk(bufs, c0, total, chunk):
+        """One pair-range chunk -> (table, cap). The chunk table covers
+        the chunk's pair count, so overflow is impossible whenever the
+        strip capacity allows it and NO host sync happens — the result
+        streams into the merge forest with the transfer still in
+        flight. Only the bucket list (once per strip segment) and two
+        scalars per chunk cross the host->device link."""
         nonlocal capacity
-        keys = len(a) * tile_a * tile_b
-        cap = min(_next_pow2(keys), capacity)
+        cap = min(_next_pow2(chunk), capacity)
         while True:
             if n_dev > 1:
                 from centroflye_tpu.parallel.mesh import (
-                    make_pair_table_step)
-                key = (len(a), cap)
+                    make_pair_bucket_step)
+                key = (int(bufs[0].shape[0]), chunk, cap)
                 if key not in sharded_steps:
-                    sharded_steps[key] = make_pair_table_step(
-                        mesh, tile_a=tile_a, tile_b=tile_b, capacity=cap)
+                    sharded_steps[key] = make_pair_bucket_step(
+                        mesh, chunk=chunk, capacity=cap)
                 uhi, ulo, cnt, n = sharded_steps[key](
-                    flat_dev, a, b, dv, jnp.int32(s_lo), jnp.int32(s_hi))
+                    flat_dev, *bufs, jnp.int32(c0), jnp.int32(total))
             else:
-                uhi, ulo, cnt, n = _pairs_from_tiles(
-                    flat_dev, a, b, dv, jnp.int32(s_lo), jnp.int32(s_hi),
-                    tile_a=tile_a, tile_b=tile_b, capacity=cap)
-            if cap >= keys or int(n) <= cap:
+                uhi, ulo, cnt, n = _pairs_from_buckets(
+                    flat_dev, *bufs, jnp.int32(c0), jnp.int32(total),
+                    chunk=chunk, capacity=cap)
+            if cap >= chunk or int(n) <= cap:
                 return (uhi, ulo, cnt), cap
             cap *= 2
             if cap > capacity:
                 capacity = cap
 
     logger.info(
-        "distance sweep: %d strip(s), tiles (%d, %d), capacity %d, "
-        "pair-obs bound %d", n_strips, tile_a, tile_b, capacity, bound)
+        "distance sweep: %d strip(s), chunk %d pairs, capacity %d, "
+        "pair-obs bound %d", n_strips, entry_chunk, capacity, bound)
     yielded = False
     for s in range(n_strips):
         t_strip = time.perf_counter()
@@ -296,18 +346,23 @@ def _strip_sweep(
         s_hi = (s + 1) * strip_w if n_strips > 1 else max(max_idx + 1, 1)
         seg_lo = seg_los[:, :, s]
         seg_len = seg_his[:, :, s] - seg_lo
-        wls = []
-        for d in range(config.min_distance, d_hi + 1):
-            wl = _strip_worklist(seg_lo, seg_len, nt_b, n_units, d,
-                                 T, Kp, tile_a, tile_b)
-            if wl is None:
-                continue
-            wls.append(wl + (np.full(len(wl[0]), d, np.int32),))
-        if not wls:
+        buckets = _strip_buckets(seg_lo, seg_len, sizes, n_units,
+                                 config.min_distance, d_hi, T, Kp)
+        if buckets is None:
             continue
-        a = np.concatenate([w[0] for w in wls])
-        b = np.concatenate([w[1] for w in wls])
-        dv = np.concatenate([w[2] for w in wls])
+        counts, ba, bb, nbv, dvv = buckets
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        total_strip = int(cum[-1])
+        if total_strip == 0:
+            continue
+        # split the bucket list into consecutive segments of < 2^31
+        # pairs each: pair indices are int32 on device
+        seg_bounds = [0]
+        while int(cum[seg_bounds[-1]]) < total_strip:
+            nxt = int(np.searchsorted(
+                cum, cum[seg_bounds[-1]] + (1 << 30), side="right")) - 1
+            nxt = max(nxt, seg_bounds[-1] + 1)
+            seg_bounds.append(min(nxt, len(counts)))
 
         # binary-counter merge forest: chunk tables enter at their own
         # (power-of-two) capacity and same-sized tables merge pairwise
@@ -336,22 +391,42 @@ def _strip_sweep(
                 t, cap = merge_pair(other, cap, t, cap)
             forest[cap] = t
 
-        pos = 0
-        while pos < len(a):
-            size = entry_chunk if len(a) - pos >= entry_chunk else \
-                tail_chunk
-            ca, cb, cd = (a[pos:pos + size], b[pos:pos + size],
-                          dv[pos:pos + size])
-            pos += size
-            if len(ca) < size:
-                padn = size - len(ca)
-                ca = np.concatenate(
-                    [ca, np.full(padn, sent_base, np.int32)])
-                cb = np.concatenate(
-                    [cb, np.full(padn, sent_base, np.int32)])
-                cd = np.concatenate([cd, np.zeros(padn, np.int32)])
-            t, cap = run_chunk(ca, cb, cd, s_lo, s_hi)
-            insert(t, cap)
+        for si in range(len(seg_bounds) - 1):
+            b0, b1 = seg_bounds[si], seg_bounds[si + 1]
+            base = int(cum[b0])
+            total_seg = int(cum[b1]) - base
+            E = b1 - b0
+            Epad = _next_pow2(E)
+            starts_h = np.full(Epad + 1, total_seg, np.int32)
+            starts_h[:E + 1] = (cum[b0:b1 + 1] - base).astype(np.int32)
+            ba_h = np.zeros(Epad, np.int32)
+            ba_h[:E] = ba[b0:b1]
+            bb_h = np.zeros(Epad, np.int32)
+            bb_h[:E] = bb[b0:b1]
+            nb_h = np.ones(Epad, np.int32)
+            nb_h[:E] = nbv[b0:b1]
+            dv_h = np.zeros(Epad, np.int32)
+            dv_h[:E] = dvv[b0:b1]
+            arrs = (starts_h, ba_h, bb_h, nb_h, dv_h)
+            bufs = tuple(jax.device_put(x, repl) if repl is not None
+                         else jax.device_put(x) for x in arrs)
+            pos = 0
+            while pos < total_seg:
+                rem = total_seg - pos
+                if rem >= entry_chunk:
+                    size = entry_chunk
+                else:
+                    # pow2-stair tail: ONE chunk rounded up to the next
+                    # power of two (floored at tail_chunk) instead of a
+                    # stream of fixed small tails — at most 2x masked
+                    # slack, bounded shape variety (each pow2 compiles
+                    # once, reused across strips and runs)
+                    size = min(max(tail_chunk, _next_pow2(rem)),
+                               entry_chunk)
+                    size = -(-size // n_dev) * n_dev
+                t, cap = run_chunk(bufs, pos, total_seg, size)
+                insert(t, cap)
+                pos += size
 
         # fold surviving forest levels (ascending) into one table
         acc, acc_cap, n = None, 0, 0
@@ -364,9 +439,9 @@ def _strip_sweep(
             n = int(jnp.sum((acc[0] != jnp.uint32(_SENT))
                             .astype(jnp.int32)))
         logger.info(
-            "distance strip %d/%d [%d, %d): %d entries, %d distinct, "
-            "%.1fs", s + 1, n_strips, s_lo, s_hi, len(a), n,
-            time.perf_counter() - t_strip)
+            "distance strip %d/%d [%d, %d): %d pairs / %d buckets, "
+            "%d distinct, %.1fs", s + 1, n_strips, s_lo, s_hi,
+            total_strip, len(counts), n, time.perf_counter() - t_strip)
         if acc is not None and n:
             yielded = True
             yield acc[0], acc[1], acc[2], n, acc_cap
@@ -484,16 +559,30 @@ def _filter_table_device(uhi, ulo, cnt, min_cov, num, den, rel,
     integer cross-multiplication count*den >= all_occ*num — no float
     rounding at the boundary. Returns compacted (i, j, d, freq) edge
     arrays + the surviving-edge count."""
-    capacity = uhi.shape[0]
     valid = uhi != SENTINEL
     j = ulo >> jnp.uint32(8)
     gstart = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
         (uhi[1:] != uhi[:-1]) | (j[1:] != j[:-1])]) & valid
-    gid = jnp.maximum(jnp.cumsum(gstart.astype(jnp.int32)) - 1, 0)
     cnt_v = jnp.where(valid, cnt, 0)
-    all_occ = jax.ops.segment_sum(
-        cnt_v, gid, num_segments=capacity)[gid]
+    # per-(i, j) group total for every member: groups are contiguous, so
+    # each element's group-start/group-end POSITIONS come from running
+    # max/min over the boundary marks (positions are monotone — immune
+    # to csum wraparound), and the total is the csum difference at those
+    # two positions (uint32 modular — exact as long as each GROUP total
+    # fits 32 bits)
+    L = uhi.shape[0]
+    iota = jnp.arange(L, dtype=jnp.int32)
+    csum = jnp.cumsum(cnt_v.astype(jnp.uint32))
+    gend = (jnp.concatenate([gstart[1:], jnp.zeros((1,), jnp.bool_)])
+            & valid) | (valid & ~jnp.concatenate(
+                [valid[1:], jnp.zeros((1,), jnp.bool_)]))
+    start_pos = jax.lax.cummax(jnp.where(gstart, iota, 0))
+    end_pos = jax.lax.cummin(jnp.where(gend, iota, L - 1), reverse=True)
+    all_occ = (csum[end_pos]
+               - jnp.where(start_pos > 0,
+                           csum[jnp.maximum(start_pos - 1, 0)],
+                           jnp.uint32(0))).astype(jnp.int32)
     if use_frac:
         ok_rel = cnt_v * den >= all_occ * num
     else:
@@ -501,17 +590,27 @@ def _filter_table_device(uhi, ulo, cnt, min_cov, num, den, rel,
             rel * all_occ.astype(jnp.float32)
     keep = valid & (cnt_v >= min_cov) & ok_rel
     n_keep = jnp.sum(keep.astype(jnp.int32))
-    pos = jnp.argsort(~keep, stable=True).astype(jnp.int32)
-    if pos.shape[0] < out_capacity:
-        pos = jnp.concatenate(
-            [pos, jnp.zeros((out_capacity - pos.shape[0],), jnp.int32)])
+    # compaction: one stable payload sort moves kept rows (already in
+    # (i, j, d) order) to the front — no argsort-permutation gathers
+    front = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
+    s_front, s_i, s_j, s_d, s_c = jax.lax.sort(
+        (front, uhi, j, ulo & jnp.uint32(0xFF), cnt),
+        num_keys=1, is_stable=True)
+    L = uhi.shape[0]
+    if L < out_capacity:
+        pad = out_capacity - L
+        s_i = jnp.concatenate([s_i, jnp.full(pad, jnp.uint32(_SENT))])
+        s_j = jnp.concatenate([s_j, jnp.full(pad, jnp.uint32(_SENT))])
+        s_d = jnp.concatenate([s_d, jnp.zeros(pad, jnp.uint32)])
+        s_c = jnp.concatenate([s_c, jnp.zeros(pad, cnt.dtype)])
     else:
-        pos = pos[:out_capacity]
+        s_i, s_j, s_d, s_c = (s_i[:out_capacity], s_j[:out_capacity],
+                              s_d[:out_capacity], s_c[:out_capacity])
     is_e = jnp.arange(out_capacity, dtype=jnp.int32) < n_keep
-    out_i = jnp.where(is_e, uhi[pos], jnp.uint32(_SENT))
-    out_j = jnp.where(is_e, j[pos], jnp.uint32(_SENT))
-    out_d = jnp.where(is_e, ulo[pos] & jnp.uint32(0xFF), jnp.uint32(0))
-    out_c = jnp.where(is_e, cnt[pos], 0)
+    out_i = jnp.where(is_e, s_i, jnp.uint32(_SENT))
+    out_j = jnp.where(is_e, s_j, jnp.uint32(_SENT))
+    out_d = jnp.where(is_e, s_d, jnp.uint32(0))
+    out_c = jnp.where(is_e, s_c, 0)
     return out_i, out_j, out_d, out_c, n_keep
 
 
@@ -549,7 +648,11 @@ def recruit_unique_kmers(
             capacity=capacity, entry_chunk=entry_chunk, mesh=mesh):
         if n == 0:
             continue
-        out_cap = edge_capacity
+        # surviving edges never exceed the strip's distinct-key count, so
+        # out_capacity = next_pow2(n) guarantees ONE filter pass (the
+        # doubling loop stays as a safety net only); the output buffer is
+        # cheap (4 int32 planes), only the [:n_keep] slice crosses to host
+        out_cap = max(_next_pow2(max(int(n), 1)), edge_capacity)
         while True:
             oi, oj, od, oc, n_keep = _filter_table_device(
                 uhi, ulo, cnt, jnp.int32(config.min_coverage),

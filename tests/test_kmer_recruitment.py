@@ -316,3 +316,39 @@ def test_multi_strip_sweep_and_device_filter(rng):
     assert set(int(i) for i in edges.unique_kmer_indices) == want_kmers
     assert np.array_equal(uniq, np.sort(np.array(list(want_kmers),
                                                  dtype=np.uint64)))
+
+
+def test_distance_table_uncanonical_rows(rng):
+    """Cloud rows that arrive unsorted and with -1 holes in the middle
+    must count identically to canonical (sorted, valid-front) rows: the
+    sweep canonicalizes internally (the exact ragged enumeration and the
+    strip segments both index contiguous valid prefixes of sorted rows).
+    Also forces multiple strips so segment bounds are exercised."""
+    R, T, Kc = 8, 14, 5
+    n_kmers = 60
+    tensor = np.full((R, T, Kc), -1, np.int32)
+    n_units = np.zeros(R, np.int32)
+    cloud_lists = []
+    for r in range(R):
+        nu = int(rng.integers(4, T + 1))
+        n_units[r] = nu
+        per_read = []
+        for t in range(nu):
+            sz = int(rng.integers(0, Kc + 1))
+            ids = rng.choice(n_kmers, size=sz, replace=False)
+            # scatter the values over random slots: holes in the middle
+            slots = rng.choice(Kc, size=sz, replace=False)
+            tensor[r, t, np.sort(slots)] = ids          # unsorted values
+            per_read.append(set(int(x) for x in ids))
+        cloud_lists.append(per_read)
+    cfg = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=9,
+                                min_coverage=1)
+    want = oracle_dist_map(cloud_lists, 1, 9)
+    for cap in (1 << 16, 1 << 7):       # single-strip and multi-strip
+        uhi, ulo, cnt, n = build_distance_table(
+            tensor, n_units, cfg, capacity=cap, entry_chunk=32)
+        got = {}
+        for t in range(n):
+            got[(int(uhi[t]), int(ulo[t]) >> 8, int(ulo[t]) & 0xFF)] = \
+                int(cnt[t])
+        assert got == dict(want), f"capacity={cap}"
