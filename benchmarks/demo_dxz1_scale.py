@@ -1,5 +1,6 @@
-import os, shutil, time
+import os, shutil, sys, time
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from centroflye_tpu.config import *
 from centroflye_tpu.io import write_seqs, read_seq
 from centroflye_tpu.io.encoding import revcomp_str
