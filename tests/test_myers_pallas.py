@@ -116,3 +116,44 @@ def test_pallas_v3_matches_v2(rng, make_dna):
     o3 = myers_hw_pallas_v3(jnp.asarray(peq), ct, l2, m=len(q))
     assert np.array_equal(np.asarray(o2["dist"]), np.asarray(o3["dist"]))
     assert np.array_equal(np.asarray(o2["end"]), np.asarray(o3["end"]))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("m,L,k", [(507, 1024, 90), (2055, 2048, 350)])
+def test_pallas_v3_banded_matches_unbanded(rng, make_dna, m, L, k):
+    """Threshold-k banded kernel: exact where dist <= k, sentinel (m, -1)
+    elsewhere — the bounded-edlib contract of the reference recruiter
+    (rr.cpp:74-79). Mix of in-band (noisy embedded unit) and out-of-band
+    (random) lanes so both the tight and blown-up band regimes run."""
+    import jax.numpy as jnp
+    from centroflye_tpu.ops.myers_pallas_v3 import (
+        TILE_B, myers_hw_pallas_v3, myers_hw_pallas_v3_banded)
+    q = make_dna(m)
+    texts = []
+    for b in range(24):
+        if b % 3 == 0:
+            t = list(q)
+            for _ in range(int(rng.integers(0, k))):
+                p = int(rng.integers(0, len(t)))
+                t[p] = "ACGT"[int(rng.integers(0, 4))]
+            texts.append(("".join(t) + make_dna(L))[:L])
+        else:
+            texts.append(make_dna(L))
+    codes, lens = encode_batch(texts, max_len=L)
+    pad = (-len(texts)) % TILE_B
+    codes = np.concatenate([codes, np.full((pad, L), 4, np.int8)])
+    lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+    ct = jnp.asarray(codes).T
+    l2 = jnp.asarray(lens).reshape(-1, 1)
+    ref = myers_hw_pallas_v3(jnp.asarray(build_peq(encode(q))), ct, l2, m=m)
+    out = myers_hw_pallas_v3_banded(
+        jnp.asarray(build_peq(encode(q))), ct, l2, m=m, k=k)
+    rd = np.asarray(ref["dist"])
+    bd = np.asarray(out["dist"])
+    in_band = rd <= k
+    assert np.array_equal(bd[in_band], rd[in_band])
+    assert np.all(bd[~in_band] == m)
+    re_ = np.asarray(ref["end"])
+    be = np.asarray(out["end"])
+    assert np.array_equal(be[in_band], re_[in_band])
+    assert np.all(be[~in_band] == -1)
