@@ -125,11 +125,14 @@ class FastPlacer:
         self.S0 = np.zeros((R, self.P), np.int32)
         self.S1 = np.zeros((R, self.P), np.int32)
         self.placed = np.zeros(R, bool)
-        # lazy per-cell match-count cache for score0's distinct-t rule:
+        # per-cell match-count cache for score0's distinct-t rule:
         # key (r, o, t) -> processed-pair hits; cells absent from the
-        # cache fall back to the initial-snapshot intersection count
+        # cache fall back to the initial-snapshot intersection count,
+        # precomputed once as a sorted (key, count) table
         self._cnt: Dict[int, int] = {}
         self._init_sets = _initial_pair_sets(contig)
+        assert self.T < (1 << 20), "unit index overflows cell-key packing"
+        self._base_keys, self._base_vals = self._build_base_counts()
 
         self._row_best_key = np.full(R, _NEG, np.int64)
         self._row_best_pos = np.full(R, -1, np.int64)
@@ -236,50 +239,117 @@ class FastPlacer:
 
     # -- incremental updates ---------------------------------------------
 
-    def _base_cnt(self, ri: int, o: int, t: int) -> int:
-        """Initial-snapshot match count of cell (read, offset, unit)."""
-        init = self._init_sets.get(o + t)
-        if init is None:
-            return 0
-        cloud = self.clouds[self.ids[ri]].clouds[t]
-        return _intersect_count(np.sort(cloud.astype(np.int64)), init)
+    def _expand(self, kmers: np.ndarray, ccpos: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Occurrence expansion of a (kmer, cc_pos) pair stream against the
+        inverted occurrence index: (read row, unit t, offset o) arrays over
+        every occurrence of each k-mer, offsets < 0 dropped."""
+        lo = np.searchsorted(self.occ_kmer, kmers, side="left")
+        hi = np.searchsorted(self.occ_kmer, kmers, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        pair_idx = np.repeat(np.arange(len(kmers)), counts)
+        prefix = np.cumsum(counts) - counts
+        idx = np.repeat(lo - prefix, counts) + np.arange(total)
+        ri = self.occ_read[idx].astype(np.int64)
+        t = self.occ_t[idx].astype(np.int64)
+        o = ccpos[pair_idx] - t
+        keep = o >= 0
+        return ri[keep], t[keep], o[keep]
+
+    @staticmethod
+    def _cell_keys(ri: np.ndarray, o: np.ndarray, t: np.ndarray
+                   ) -> np.ndarray:
+        assert o.size == 0 or int(o.max()) < (1 << 20)
+        return (ri << np.int64(40)) | (o << np.int64(20)) | t
+
+    def _build_base_counts(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Initial-snapshot match count per (read, offset, unit) cell —
+        the expansion of every initial (kmer, pos) pair, counted per cell
+        — as a sorted (key, count) lookup table."""
+        if not self._init_sets or len(self.occ_kmer) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        kmers = np.concatenate(list(self._init_sets.values()))
+        ccpos = np.concatenate(
+            [np.full(len(ks), pos, np.int64)
+             for pos, ks in self._init_sets.items()])
+        ri, t, o = self._expand(kmers, ccpos)
+        if ri.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        keys, cnts = np.unique(self._cell_keys(ri, o, t),
+                               return_counts=True)
+        return keys, cnts.astype(np.int64)
 
     def apply_pairs(self, pairs: Sequence[Tuple[int, int]]):
         """Process newly frequent (kmer, cc_pos) pairs; returns touched
-        read rows."""
-        touched = []
-        for kmer, cc_pos in pairs:
-            lo = np.searchsorted(self.occ_kmer, kmer, side="left")
-            hi = np.searchsorted(self.occ_kmer, kmer, side="right")
-            for idx in range(lo, hi):
-                ri = int(self.occ_read[idx])
-                t = int(self.occ_t[idx])
-                o = cc_pos - t
-                if o < 0:
-                    continue
-                if o >= self.P:
-                    self._grow_P(o)
-                ck = ((np.int64(ri) << np.int64(40))
-                      | (np.int64(o) << np.int64(20)) | np.int64(t))
-                cur = self._cnt.get(int(ck))
-                if cur is None:
-                    cur = self._base_cnt(ri, o, t)
-                self._cnt[int(ck)] = cur + 1
-                self.S1[ri, o] += 1
-                if cur == 0:
-                    self.S0[ri, o] += 1
-                touched.append((ri, o))
-        rows = []
-        for ri, o in touched:
-            key = self._valid_key(self.S0[ri, o:o + 1],
-                                  self.S1[ri, o:o + 1])[0]
-            if key > self._row_best_key[ri] or \
-                    (key == self._row_best_key[ri] and key >= 0
-                     and o > self._row_best_pos[ri]):
-                self._row_best_key[ri] = key
-                self._row_best_pos[ri] = o
-            rows.append(ri)
-        return rows
+        read rows. Fully vectorized: occurrence expansion, per-cell count
+        bookkeeping, S0/S1 scatter-adds, and the row-best refresh each run
+        as single array passes over the batch."""
+        if not len(pairs):
+            return []
+        kmers = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+        ccpos = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
+        ri, t, o = self._expand(kmers, ccpos)
+        if ri.size == 0:
+            return []
+        omax = int(o.max())
+        if omax >= self.P:
+            self._grow_P(omax)
+        ucells, uinc = np.unique(self._cell_keys(ri, o, t),
+                                 return_counts=True)
+        uri = ucells >> np.int64(40)
+        uo = (ucells >> np.int64(20)) & np.int64((1 << 20) - 1)
+
+        # pre-update count per cell: the cache where present, else the
+        # initial-snapshot base table
+        cur = np.empty(len(ucells), np.int64)
+        miss = []
+        for i, k in enumerate(ucells.tolist()):
+            v = self._cnt.get(k)
+            if v is None:
+                miss.append(i)
+            else:
+                cur[i] = v
+        if miss:
+            mi = np.array(miss)
+            if len(self._base_keys):
+                p = np.searchsorted(self._base_keys, ucells[mi])
+                p = np.minimum(p, len(self._base_keys) - 1)
+                hit = self._base_keys[p] == ucells[mi]
+                cur[mi] = np.where(hit, self._base_vals[p], 0)
+            else:
+                cur[mi] = 0
+        for k, v in zip(ucells.tolist(), (cur + uinc).tolist()):
+            self._cnt[k] = v
+
+        # scatter the increments; several t cells may share one (r, o)
+        flat = uri * np.int64(self.P) + uo
+        np.add.at(self.S1.ravel(), flat, uinc.astype(np.int32))
+        s0_inc = cur == 0
+        if s0_inc.any():
+            np.add.at(self.S0.ravel(), flat[s0_inc], np.int32(1))
+
+        # refresh row-best caches from the touched (r, o) cells: per-row
+        # max by (key, offset), then the same improve-only rule as the
+        # sequential update (scores only ever increase)
+        uflat = np.unique(flat)
+        rows = uflat // np.int64(self.P)
+        offs = uflat % np.int64(self.P)
+        key = self._valid_key(self.S0.ravel()[uflat],
+                              self.S1.ravel()[uflat])
+        srt = np.lexsort((offs, key, rows))
+        r_s, k_s, o_s = rows[srt], key[srt], offs[srt]
+        last = np.nonzero(np.r_[r_s[1:] != r_s[:-1], True])[0]
+        rr, bk, bo = r_s[last], k_s[last], o_s[last]
+        upd = (bk > self._row_best_key[rr]) | \
+            ((bk == self._row_best_key[rr]) & (bk >= 0)
+             & (bo > self._row_best_pos[rr]))
+        self._row_best_key[rr[upd]] = bk[upd]
+        self._row_best_pos[rr[upd]] = bo[upd]
+        return rows.tolist()
 
     # -- winner selection -------------------------------------------------
 
