@@ -87,6 +87,62 @@ def placement_scores(read_bitmaps: jnp.ndarray,
     return s0, s1
 
 
+@functools.partial(jax.jit, static_argnames=("n_kmers", "n_pos"))
+def placement_scores_matmul(clouds_tensor: jnp.ndarray,
+                            contig_kmer: jnp.ndarray,
+                            contig_pos: jnp.ndarray,
+                            n_kmers: int, n_pos: int
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-offset placement scores on the MXU.
+
+    The popcount correlation above is VPU-bound (R*P*T*W word ops). The
+    same counts are one big matmul: with A[(r,t), v] the one-hot cloud
+    membership and B[v, p] the one-hot contig pair table,
+    C = A @ B gives C[(r,t), p] = |cloud(r,t) & contig(p)|, and the
+    offset scores are the shifted-diagonal reductions
+        score1[r, o] = sum_t C[r, t, o + t]
+        score0[r, o] = sum_t [C[r, t, o + t] > 0].
+    bf16 operands are exact (0/1 values) and the f32 accumulation is
+    exact below 2^24, so counts are bit-identical to the popcount path.
+
+    Args:
+      clouds_tensor: (R, T, K) int32 padded k-mer indices (-1 = pad;
+        indices unique within a cloud).
+      contig_kmer / contig_pos: flat (kmer, position) pairs of the contig
+        table (unique pairs; positions >= n_pos are ignored).
+      n_kmers: vocabulary size V (static).
+      n_pos: number of contig positions P (static).
+
+    Returns:
+      (score0, score1): each (R, n_pos) int32.
+    """
+    R, T, K = clouds_tensor.shape
+    P = n_pos
+    flat = clouds_tensor.reshape(R * T, K)
+    ok = flat >= 0
+    A = jnp.zeros((R * T, n_kmers), jnp.bfloat16)
+    A = A.at[jnp.arange(R * T)[:, None], jnp.where(ok, flat, 0)].add(
+        ok.astype(jnp.bfloat16), mode="drop")
+    pos_ok = contig_pos < P
+    B = jnp.zeros((n_kmers, P + T), jnp.bfloat16)
+    B = B.at[contig_kmer, jnp.where(pos_ok, contig_pos, P + T)].add(
+        pos_ok.astype(jnp.bfloat16), mode="drop")
+    C = jnp.dot(A, B, preferred_element_type=jnp.float32)
+    C = C.reshape(R, T, P + T)
+
+    def body(carry, t):
+        s0, s1 = carry
+        ct = jax.lax.dynamic_slice_in_dim(C, t, 1, axis=1)[:, 0]
+        win = jax.lax.dynamic_slice_in_dim(ct, t, P, axis=1)
+        cnt = win.astype(jnp.int32)
+        return (s0 + (cnt > 0).astype(jnp.int32), s1 + cnt), None
+
+    init = (jnp.zeros((R, P), jnp.int32), jnp.zeros((R, P), jnp.int32))
+    (s0, s1), _ = jax.lax.scan(body, init,
+                               jnp.arange(T, dtype=jnp.int32))
+    return s0, s1
+
+
 def device_map_reads(clouds_tensor: np.ndarray, n_units: np.ndarray,
                      freq_clouds: Dict[int, set], max_pos: int,
                      n_kmers: int, threshold=(5, 10),

@@ -171,15 +171,61 @@ class FastPlacer:
                         self.S1[ri, o] += n
                         self.S0[ri, o] += 1
 
+    # vocabularies past this go through the bitmap popcount path: the
+    # matmul's one-hot operands scale linearly in V, the bitmaps in V/32
+    _MATMUL_MAX_VOCAB = 1 << 17
+
     def _score_init_device(self, max_pos: int):
-        """Bulk (R, P) scoring on device: bitmap popcount correlation
-        (ops/scoring.placement_scores) against the initial-snapshot
-        bitmap; chunked over reads to bound the (R, T, W) bitmap size."""
+        """Bulk (R, P) scoring on device. Default: the MXU matmul scorer
+        (ops/scoring.placement_scores_matmul — one-hot clouds @ one-hot
+        contig in bf16, exact f32 counts); very large k-mer vocabularies
+        fall back to the bitmap popcount correlation
+        (ops/scoring.placement_scores). Chunked over reads to bound the
+        one-hot / bitmap working set."""
+        R = len(self.ids)
+        P_bm = min(self.P, max_pos + 1)
+        K = max((len(c) for r in self.ids
+                 for c in self.clouds[r].clouds), default=0)
+        K = max(K, 1)
+        tensor = np.full((R, self.T, K), -1, np.int32)
+        for ri, r in enumerate(self.ids):
+            for t, c in enumerate(self.clouds[r].clouds):
+                tensor[ri, t, :len(c)] = c
+        if self.n_kmers <= self._MATMUL_MAX_VOCAB:
+            self._score_chunks_matmul(tensor, P_bm)
+        else:
+            self._score_chunks_popcount(tensor, P_bm)
+
+    def _score_chunks_matmul(self, tensor: np.ndarray, P_bm: int):
+        from centroflye_tpu.ops.scoring import placement_scores_matmul
+        ck = np.concatenate(list(self._init_sets.values()))
+        cp = np.concatenate(
+            [np.full(len(ks), pos, np.int64)
+             for pos, ks in self._init_sets.items()])
+        keep = cp < P_bm
+        ck, cp = ck[keep].astype(np.int32), cp[keep].astype(np.int32)
+        R = tensor.shape[0]
+        # chunk reads so the (Rc*T, V) bf16 one-hot stays ~256 MB; equal
+        # chunk shapes (pad the tail) keep it one compile
+        chunk = max(1, (256 << 20) // max(1, 2 * self.T * self.n_kmers))
+        chunk = min(chunk, R)
+        for r0 in range(0, R, chunk):
+            block = tensor[r0:r0 + chunk]
+            n = block.shape[0]
+            if n < chunk:
+                block = np.concatenate(
+                    [block, np.full((chunk - n,) + block.shape[1:], -1,
+                                    np.int32)])
+            s0, s1 = placement_scores_matmul(
+                block, ck, cp, n_kmers=self.n_kmers, n_pos=P_bm)
+            self.S0[r0:r0 + n, :P_bm] = np.asarray(s0)[:n]
+            self.S1[r0:r0 + n, :P_bm] = np.asarray(s1)[:n]
+
+    def _score_chunks_popcount(self, tensor: np.ndarray, P_bm: int):
         from centroflye_tpu.ops.scoring import (
             clouds_to_bitmaps, placement_scores)
-        R = len(self.ids)
+        R = tensor.shape[0]
         W = max(1, -(-self.n_kmers // 32))
-        P_bm = min(self.P, max_pos + 1)
         contig_bm = np.zeros((P_bm, W), np.uint32)
         for pos, ks in self._init_sets.items():
             if pos >= P_bm:
@@ -192,13 +238,6 @@ class FastPlacer:
                  ).astype(np.uint32))
         # chunk reads so R_chunk * T * W uint32 stays ~64 MB
         chunk = max(1, (64 << 20) // max(1, 4 * self.T * W))
-        K = max((len(c) for r in self.ids
-                 for c in self.clouds[r].clouds), default=0)
-        K = max(K, 1)
-        tensor = np.full((R, self.T, K), -1, np.int32)
-        for ri, r in enumerate(self.ids):
-            for t, c in enumerate(self.clouds[r].clouds):
-                tensor[ri, t, :len(c)] = c
         for r0 in range(0, R, chunk):
             bm = clouds_to_bitmaps(tensor[r0:r0 + chunk], self.n_kmers)
             s0, s1 = placement_scores(bm, contig_bm)

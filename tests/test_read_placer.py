@@ -203,3 +203,41 @@ def test_fast_placer_random_parity():
         want_s = slow.scores
         assert got_p == want_p, (seed, got_p, want_p)
         assert got_s == want_s, (seed, got_s, want_s)
+
+
+def test_matmul_scorer_matches_popcount_scorer():
+    """The MXU matmul formulation must reproduce the bitmap popcount
+    correlation count-for-count (bf16 one-hots are exact 0/1, f32
+    accumulation exact below 2^24)."""
+    from centroflye_tpu.ops.scoring import (
+        clouds_to_bitmaps, placement_scores, placement_scores_matmul)
+
+    rng = np.random.default_rng(5)
+    R, T, K, V, P = 7, 6, 5, 97, 23
+    clouds = np.where(rng.random((R, T, K)) < 0.7,
+                      rng.integers(0, V, size=(R, T, K)), -1).astype(np.int32)
+    # dedupe within each cloud (cloud k-mer sets are unique by contract)
+    for r in range(R):
+        for t in range(T):
+            c = clouds[r, t]
+            seen = set()
+            for i, v in enumerate(c):
+                if v in seen:
+                    c[i] = -1
+                seen.add(int(v))
+    n_pairs = 60
+    ck = rng.integers(0, V, size=n_pairs)
+    cp = rng.integers(0, P + 4, size=n_pairs)   # some beyond P: ignored
+    uniq = sorted(set(zip(ck.tolist(), cp.tolist())))
+    ck = np.array([u[0] for u in uniq], np.int32)
+    cp = np.array([u[1] for u in uniq], np.int32)
+
+    bm = np.zeros((P, max(1, -(-V // 32))), np.uint32)
+    for v, p in uniq:
+        if p < P:
+            bm[p, v // 32] |= np.uint32(1) << np.uint32(v % 32)
+    s0_pc, s1_pc = placement_scores(clouds_to_bitmaps(clouds, V), bm)
+    s0_mm, s1_mm = placement_scores_matmul(clouds, ck, cp,
+                                           n_kmers=V, n_pos=P)
+    np.testing.assert_array_equal(np.asarray(s0_pc), np.asarray(s0_mm))
+    np.testing.assert_array_equal(np.asarray(s1_pc), np.asarray(s1_mm))
