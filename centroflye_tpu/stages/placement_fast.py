@@ -17,12 +17,15 @@ can legitimately appear in both, and then counts twice — a reference quirk
 preserved for parity.
 
 TPU-first design instead of the reference's dict-of-Counters scan:
-- scores live in dense (R, P) int32 arrays; the initial bulk scoring is
-  the bitmap popcount correlation kernel on device
-  (ops/scoring.placement_scores) over k-mer-set bitmaps;
-- per-iteration increments touch only the handful of (read, offset, unit)
-  cells reached by the newly frequent pairs; score0's distinct-t condition
-  is tracked with a lazy per-cell match-count cache;
+- scores live in dense (R, P) int32 arrays; the initial bulk scoring runs
+  on the MXU as a one-hot bf16 matmul with exact f32 counts
+  (ops/scoring.placement_scores_matmul), falling back to the bitmap
+  popcount correlation kernel (ops/scoring.placement_scores) for very
+  large k-mer vocabularies;
+- per-iteration increments are fully vectorized (apply_pairs): occurrence
+  expansion via searchsorted+repeat, per-cell count bookkeeping against a
+  precomputed initial-snapshot base table, np.add.at scatter-adds, and a
+  lexsort-grouped row-best refresh;
 - the winner argmax is O(R) per iteration through per-row best caches
   (scores only ever increase, so a row's cached best stays exact until
   the row is touched), or a jitted full (R, P) hierarchical argmax on
