@@ -49,11 +49,155 @@ from centroflye_tpu.stages.cloud_contig import CloudContig
 from centroflye_tpu.stages.kmer_cloud import ReadClouds
 
 _NEG = np.int64(-1)
+_KMASK = np.int64(0xFFFFFFFF)
 
 
-def _initial_pair_sets(contig: CloudContig) -> Dict[int, np.ndarray]:
+class ArrayContig:
+    """Array-native cloud contig — the production contig data structure.
+
+    Same observable semantics as the reference's CloudContig (reference
+    cloud_contig.py:8-41: positions hold k-mer multisets; a k-mer becomes
+    "frequent" at a position once seen min_cloud_kmer_freq times; add_read
+    reports the newly frequent (kmer, pos) pairs), but holds ONE sorted
+    int64 key table ((pos << 32) | kmer_index -> count) instead of
+    dict-of-Counters, so add_read is a single np.unique + searchsorted
+    merge per read rather than a Python loop per k-mer occurrence. The
+    dict implementation (stages/cloud_contig.CloudContig) remains the
+    cross-checking oracle, the reference's own slow/fast verification
+    pattern (reference cloud_contig.py:146-155)."""
+
+    def __init__(self, min_cloud_kmer_freq: int):
+        self.min_cloud_kmer_freq = max(1, min_cloud_kmer_freq)
+        self.max_pos = 0
+        self.read_positions: Dict[str, int] = {}
+        self._keys = np.empty(0, np.int64)     # sorted (pos << 32) | kmer
+        self._cnts = np.empty(0, np.int64)
+        self._positions: set = set()           # materialized positions
+        self._freq_clouds_cache: Optional[Dict[int, set]] = None
+
+    def add_read(self, read_clouds: ReadClouds, position: int
+                 ) -> List[Tuple[int, int]]:
+        """Add a read's clouds at a unit offset; returns the k-mers that
+        newly became frequent as (kmer, contig_pos) pairs (reference
+        cloud_contig.py:26-41). Order of the returned pairs is
+        unspecified (all downstream consumers are additive)."""
+        self.read_positions[read_clouds.r_id] = position
+        n_units = read_clouds.n_units
+        if n_units:
+            # the reference materializes a (possibly empty) cloud per
+            # unit instance, so max_pos advances over empty clouds too
+            self.max_pos = max(self.max_pos, position + n_units - 1)
+            self._positions.update(range(position, position + n_units))
+        parts = []
+        for i, cloud in enumerate(read_clouds.clouds):
+            if len(cloud):
+                c = cloud.astype(np.int64)
+                parts.append((np.int64(i + position) << np.int64(32)) | c)
+        if not parts:
+            return []
+        ukeys, inc = np.unique(np.concatenate(parts), return_counts=True)
+        n_old = len(self._keys)
+        idx = np.searchsorted(self._keys, ukeys)
+        if n_old:
+            idxc = np.minimum(idx, n_old - 1)
+            exists = (idx < n_old) & (self._keys[idxc] == ukeys)
+            old = np.where(exists, self._cnts[idxc], 0)
+        else:
+            exists = np.zeros(len(ukeys), bool)
+            old = np.zeros(len(ukeys), np.int64)
+        new = old + inc
+        if exists.any():
+            self._cnts[idx[exists]] = new[exists]
+        miss = ~exists
+        if miss.any():
+            self._keys = np.insert(self._keys, idx[miss], ukeys[miss])
+            self._cnts = np.insert(self._cnts, idx[miss], new[miss])
+        f = self.min_cloud_kmer_freq
+        newly = ukeys[(old < f) & (new >= f)]
+        if len(newly):
+            self._freq_clouds_cache = None
+        return [(int(k & _KMASK), int(k >> np.int64(32)))
+                for k in newly.tolist()]
+
+    # -- array views (FastPlacer fast paths) ------------------------------
+
+    def occurrence_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(kmers, positions) over every (pos, kmer) pair seen >= 1 time,
+        sorted by (pos, kmer) — CloudContig.kmer_positions as flat arrays."""
+        return self._keys & _KMASK, self._keys >> np.int64(32)
+
+    def freq_kmer_array(self) -> np.ndarray:
+        """Sorted unique k-mers frequent at >= 1 position (the reference's
+        global freq_kmers set)."""
+        f = self._cnts >= self.min_cloud_kmer_freq
+        return np.unique(self._keys[f] & _KMASK)
+
+    # -- dict views (oracle-compatible API) --------------------------------
+
+    @property
+    def freq_kmers(self) -> set:
+        return set(self.freq_kmer_array().tolist())
+
+    @property
+    def kmer_positions(self) -> Dict[int, set]:
+        from collections import defaultdict
+        d: Dict[int, set] = defaultdict(set)
+        kmers, poss = self.occurrence_arrays()
+        for k, p in zip(kmers.tolist(), poss.tolist()):
+            d[k].add(p)
+        return d
+
+    @property
+    def clouds(self) -> set:
+        """Materialized positions — API shim so len(contig.clouds) (the
+        reference's bound check, cloud_contig.py:137) works; per-position
+        Counter access is the oracle CloudContig's job."""
+        return self._positions
+
+    @property
+    def freq_clouds(self) -> Dict[int, set]:
+        """pos -> set of k-mers frequent at pos (cached; invalidated when
+        add_read promotes new pairs)."""
+        if self._freq_clouds_cache is None:
+            from collections import defaultdict
+            d: Dict[int, set] = defaultdict(set)
+            fkeys = self._keys[self._cnts >= self.min_cloud_kmer_freq]
+            for k in fkeys.tolist():
+                d[k >> 32].add(k & 0xFFFFFFFF)
+            self._freq_clouds_cache = d
+        return self._freq_clouds_cache
+
+    def calc_inters_score(self, read_clouds: ReadClouds,
+                          min_position: int = 0,
+                          max_position: Optional[int] = None,
+                          min_unit: int = 2, min_inters: int = 10):
+        """Slow oracle scorer over this contig (duck-typed reuse of the
+        oracle implementation — it reads only freq_clouds and max_pos)."""
+        return CloudContig.calc_inters_score(
+            self, read_clouds, min_position=min_position,
+            max_position=max_position, min_unit=min_unit,
+            min_inters=min_inters)
+
+
+def _initial_pair_sets(contig) -> Dict[int, np.ndarray]:
     """pos -> sorted array of globally-frequent k-mers occurring at pos
-    (the reference's initial freq_kmers snapshot, read_placer.py:54-58)."""
+    (the reference's initial freq_kmers snapshot, read_placer.py:54-58 —
+    note: ALL positions of a globally frequent k-mer, not only positions
+    where it is frequent)."""
+    if isinstance(contig, ArrayContig):
+        kmers, poss = contig.occurrence_arrays()
+        fk = contig.freq_kmer_array()
+        if len(fk) == 0 or len(kmers) == 0:
+            return {}
+        i = np.searchsorted(fk, kmers)
+        ic = np.minimum(i, len(fk) - 1)
+        keep = fk[ic] == kmers
+        kmers, poss = kmers[keep], poss[keep]
+        # occurrence_arrays is sorted by (pos, kmer): split on pos runs
+        upos, starts = np.unique(poss, return_index=True)
+        bounds = np.append(starts, len(poss))
+        return {int(p): kmers[bounds[i]:bounds[i + 1]]
+                for i, p in enumerate(upos.tolist())}
     per_pos: Dict[int, List[int]] = {}
     for kmer in contig.freq_kmers:
         for pos in contig.kmer_positions[kmer]:
@@ -98,8 +242,13 @@ class FastPlacer:
             for c in self.clouds[r].clouds:
                 if len(c):
                     n_kmers = max(n_kmers, int(c.max()) + 1)
-        for kmer in contig.kmer_positions:
-            n_kmers = max(n_kmers, int(kmer) + 1)
+        if isinstance(contig, ArrayContig):
+            ck, _ = contig.occurrence_arrays()
+            if len(ck):
+                n_kmers = max(n_kmers, int(ck.max()) + 1)
+        else:
+            for kmer in contig.kmer_positions:
+                n_kmers = max(n_kmers, int(kmer) + 1)
         self.n_kmers = n_kmers
 
         # inverted occurrence index: kmer -> (read row, unit t), sorted by

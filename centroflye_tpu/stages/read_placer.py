@@ -40,7 +40,14 @@ class ReadPlacer:
                  use_fast: bool = True):
         self.config = config or PlacerConfig()
         self.use_fast = use_fast
-        self.contig = CloudContig(self.config.min_cloud_kmer_freq)
+        if use_fast:
+            # production contig: the sorted-key-table ArrayContig (one
+            # vectorized merge per placed read); the dict-of-Counters
+            # CloudContig below is the cross-checking oracle
+            from centroflye_tpu.stages.placement_fast import ArrayContig
+            self.contig = ArrayContig(self.config.min_cloud_kmer_freq)
+        else:
+            self.contig = CloudContig(self.config.min_cloud_kmer_freq)
         self.placements: Dict[str, Optional[int]] = {}
         self.scores: Dict[str, Tuple[int, int]] = {}
 

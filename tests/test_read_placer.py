@@ -241,3 +241,39 @@ def test_matmul_scorer_matches_popcount_scorer():
                                            n_kmers=V, n_pos=P)
     np.testing.assert_array_equal(np.asarray(s0_pc), np.asarray(s0_mm))
     np.testing.assert_array_equal(np.asarray(s1_pc), np.asarray(s1_mm))
+
+
+def test_array_contig_matches_dict_contig():
+    """ArrayContig (production, sorted key table) must agree with the
+    dict-of-Counters CloudContig oracle on every observable: the newly
+    frequent (kmer, pos) pairs returned per add_read, max_pos, the
+    frequent-k-mer set, per-k-mer position sets, frequent clouds, and the
+    materialized-position count."""
+    from centroflye_tpu.stages.cloud_contig import CloudContig
+    from centroflye_tpu.stages.kmer_cloud import ReadClouds
+    from centroflye_tpu.stages.placement_fast import ArrayContig
+
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        ac = ArrayContig(min_cloud_kmer_freq=2)
+        cc = CloudContig(min_cloud_kmer_freq=2)
+        for ridx in range(12):
+            n_units = int(rng.integers(1, 8))
+            clouds = []
+            for _ in range(n_units):
+                sz = int(rng.integers(0, 6))
+                clouds.append(np.sort(rng.choice(
+                    25, size=sz, replace=False)).astype(np.int64))
+            rc = ReadClouds(r_id=f"r{ridx}", clouds=clouds)
+            pos = int(rng.integers(0, 10))
+            got = ac.add_read(rc, position=pos)
+            want = cc.add_read(rc, position=pos)
+            assert sorted(got) == sorted(want), (seed, ridx)
+            assert ac.max_pos == cc.max_pos
+        assert ac.freq_kmers == cc.freq_kmers
+        kp_a, kp_c = ac.kmer_positions, cc.kmer_positions
+        assert {k: v for k, v in kp_c.items() if v} == dict(kp_a)
+        fc_a, fc_c = ac.freq_clouds, cc.freq_clouds
+        assert {p: s for p, s in fc_c.items() if s} == dict(fc_a)
+        assert len(ac.clouds) == len(cc.clouds)
+        assert ac.read_positions == cc.read_positions
