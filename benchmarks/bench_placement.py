@@ -21,9 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     from centroflye_tpu.config import PlacerConfig
-    from centroflye_tpu.stages.cloud_contig import CloudContig
     from centroflye_tpu.stages.kmer_cloud import ReadClouds
-    from centroflye_tpu.stages.placement_fast import FastPlacer
+    from centroflye_tpu.stages.placement_fast import ArrayContig, FastPlacer
 
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     genome_units = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
@@ -46,7 +45,7 @@ def main():
     reads_clouds = {}
     names = []
     # prefix reads seed the contig at 0
-    contig = CloudContig(min_cloud_kmer_freq=2)
+    contig = ArrayContig(min_cloud_kmer_freq=2)   # the production contig
     for p in range(4):
         contig.add_read(mk_read(f"pre{p}", 0, T + 5), position=0)
     starts = rng.integers(0, genome_units - T, size=n_reads)

@@ -193,10 +193,11 @@ def make_pair_bucket_step(mesh: Mesh, *, chunk: int, capacity: int):
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()), check_vma=False)
-    def step(flat, starts, base_a, base_b, nbv, dvals, c0, total):
+    def step(flat, starts, const_vals, base_iter, a_const, dvals,
+             c0, total):
         idx = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
         uhi, ulo, cnt, n = _pairs_from_buckets_core(
-            flat, starts, base_a, base_b, nbv, dvals,
+            flat, starts, const_vals, base_iter, a_const, dvals,
             c0 + idx * jnp.int32(local), total,
             chunk=local, capacity=capacity)
         g_uhi = jax.lax.all_gather(uhi, DATA_AXIS)

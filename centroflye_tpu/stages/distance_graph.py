@@ -20,13 +20,16 @@ padded width (measured ~67 of K=245 at 400-unit scale — a dense
 cloud x cloud broadcast wastes >90% of the sort volume on pad keys, and pad
 keys cost exactly as much as real keys once they enter the sort; even an
 8x32 tile outer product pays ~7x slack at production raggedness). The host
-ships, per strip, one flat BUCKET LIST — a bucket per populated
-(read, unit t, distance d) triple with a pair-count cumsum — and the
+ships, per strip, one flat SUB-BUCKET LIST — each populated
+(read, unit t, distance d) triple split along its smaller cloud side, so
+a sub-bucket is (one smaller-side element, resolved to its k-mer value
+ON HOST) x (the whole larger side) with a pair-count cumsum — and the
 device enumerates the strip's pair-index range [0, total) in static-size
-chunks: a scatter+cumsum of bucket boundaries assigns each pair index its
-bucket, a divmod decodes the (segment element, cloud element) pair, and
-two gathers fetch the codes. Every key entering a sort is a true pair
-observation; per-chunk host traffic is two scalars. Chunks have ONE
+chunks: a scatter+cumsum of sub-bucket boundaries assigns each pair
+index its sub-bucket and reconstructs the constant side's value; ONE
+gather fetches the iterated side's code (no divmod, no second gather).
+Every key entering a sort is a true pair observation; per-chunk host
+traffic is two scalars. Chunks have ONE
 static shape, so the whole sweep is a handful of compiles; the pair range
 shards over the mesh data axis (parallel/mesh.make_pair_bucket_step)
 with all_gather+fold merges over ICI. The final filter is a segmented
@@ -73,34 +76,42 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(int(x), 1)))))
 
 
-def _pairs_from_buckets_core(flat, starts, base_a, base_b, nbv, dvals,
-                             c0, total, *, chunk: int, capacity: int):
+def _pairs_from_buckets_core(flat, starts, const_vals, base_iter, a_const,
+                             dvals, c0, total, *, chunk: int,
+                             capacity: int):
     """Count (i, j, d) keys for one chunk of the strip's flat pair range.
 
-    EXACT ragged enumeration: pair p in [c0, c0+chunk) belongs to bucket
-    e(p) = the (read, unit, distance) triple whose half-open pair range
-    [starts[e], starts[e+1]) contains p; within the bucket, the pair is
-    (x, y) = divmod(p - starts[e], nb[e]) — element x of the A strip
-    segment crossed with element y of the B cloud. Every emitted key is a
-    true pair observation (the only waste is the masked tail of the last
+    EXACT ragged enumeration over SUB-BUCKETS: the host splits every
+    (read, unit, distance) bucket along its SMALLER cloud side, so a
+    sub-bucket is (one element of the smaller side) x (the whole larger
+    side). Pair p in [c0, c0+chunk) belongs to sub-bucket e(p) = the one
+    whose half-open range [starts[e], starts[e+1]) contains p; within
+    it, y = p - starts[e] indexes the iterated (larger) side. The
+    smaller side's k-mer value is resolved ON HOST (const_vals[e]) and
+    reconstructed per pair by the same scatter-delta fill as every other
+    per-bucket quantity — so the kernel performs ONE flat gather per
+    pair (the iterated side) instead of two, and needs no divmod at all
+    (the old formulation's f32 division). Every emitted key is a true
+    pair observation (the only waste is the masked tail of the last
     chunk), unlike a tile outer product whose slack pays full sort cost
     per pad key (~7x of the volume at production cloud raggedness).
 
     Bucket assignment is scatter+cumsum, not searchsorted or per-pair
-    table gathers: each per-bucket value v[e(p)] is reconstructed by
-    scattering the bucket-to-bucket DELTAS v[i] - v[i-1] at the bucket
-    boundary positions and prefix-summing along the chunk — O(E + chunk)
-    adds instead of chunk random gathers (measured ~0.7s per 33M-element
+    table gathers: each per-sub-bucket value v[e(p)] is reconstructed by
+    scattering the DELTAS v[i] - v[i-1] at the sub-bucket boundary
+    positions and prefix-summing along the chunk — O(E + chunk) adds
+    instead of chunk random gathers (measured ~0.7s per 33M-element
     gather on-chip vs ~0.05s per scatter+scan). Boundaries before the
     chunk clip to slot 0 (their deltas accumulate there), boundaries
-    beyond it drop; empty buckets' deltas land on one slot and collapse
-    correctly. starts: (E+1,) int32 nondecreasing with starts[0] == 0,
-    padded past the real bucket count with `total`; base_a/base_b: (E,)
-    int32 flat offsets of the A segment and B cloud; nbv: (E,) int32
-    B-cloud sizes (>= 1); dvals: (E,) int32 unit distances. c0/total are
-    traced scalars — one compile serves every chunk and strip. Returns a
-    sorted fixed-capacity (i, (j<<8)|d) -> count table
-    (uhi, ulo, counts, n)."""
+    beyond it drop; empty sub-buckets' deltas land on one slot and
+    collapse correctly. starts: (E+1,) int32 nondecreasing with
+    starts[0] == 0, padded past the real sub-bucket count with `total`;
+    const_vals: (E,) int32 k-mer index of the constant side; base_iter:
+    (E,) int32 flat offset of the iterated side's cloud slice; a_const:
+    (E,) int32 1 if the constant side is the A (i) side, else 0; dvals:
+    (E,) int32 unit distances. c0/total are traced scalars — one compile
+    serves every chunk and strip. Returns a sorted fixed-capacity
+    (i, (j<<8)|d) -> count table (uhi, ulo, counts, n)."""
     p = jnp.arange(chunk, dtype=jnp.int32) + c0
     # inter-bucket boundaries only: bucket i (i >= 1) begins at starts[i];
     # starts[E] is the end of the range, not a boundary
@@ -115,20 +126,12 @@ def _pairs_from_buckets_core(flat, starts, base_a, base_b, nbv, dvals,
         return jnp.cumsum(grid)
 
     st = fill(starts[:-1])
-    off = p - st                       # < seg_len*nb <= K^2 < 2^24
-    nbq = jnp.maximum(fill(nbv), 1)
-    base_a_e = fill(base_a)
-    base_b_e = fill(base_b)
-    # x = off // nbq via f32 estimate + exact +-1 correction (int32
-    # divide has no native TPU datapath; off and nbq are exact in f32
-    # for K <= 4000, enforced by the sweep)
-    x = (off.astype(jnp.float32) / nbq.astype(jnp.float32)) \
-        .astype(jnp.int32)
-    x = jnp.where(x * nbq > off, x - 1, x)
-    x = jnp.where((x + 1) * nbq <= off, x + 1, x)
-    y = off - x * nbq
-    a = flat[jnp.maximum(base_a_e + x, 0)]
-    b = flat[jnp.maximum(base_b_e + y, 0)]
+    y = p - st
+    g = flat[jnp.maximum(fill(base_iter) + y, 0)]   # iterated side
+    c = fill(const_vals)                            # constant side
+    fa = fill(a_const)
+    a = jnp.where(fa == 1, c, g)
+    b = jnp.where(fa == 1, g, c)
     dv = fill(dvals).astype(jnp.uint32)
     valid = (p < total) & (a != b)
     hi = jnp.where(valid, a.astype(jnp.uint32), jnp.uint32(_SENT))
@@ -140,6 +143,30 @@ def _pairs_from_buckets_core(flat, starts, base_a, base_b, nbv, dvals,
 
 _pairs_from_buckets = jax.jit(
     _pairs_from_buckets_core, static_argnames=("chunk", "capacity"))
+
+
+def _expand_subbuckets(flat_host: np.ndarray, counts: np.ndarray,
+                       ba: np.ndarray, bb: np.ndarray, nbv: np.ndarray,
+                       dvv: np.ndarray):
+    """Split each (read, unit, distance) bucket along its smaller cloud
+    side into sub-buckets of (one smaller-side element) x (whole larger
+    side). The smaller side's k-mer values are gathered from the flat
+    cloud array ON HOST (cheap: one value per sub-bucket); the device
+    then needs a single gather per pair. Returns flat arrays over
+    sub-buckets: (counts, const_vals, base_iter, a_const, dv)."""
+    seg = (counts // np.maximum(nbv, 1)).astype(np.int64)  # A-side sizes
+    a_major = nbv >= seg          # expand A side when B side is larger
+    n_sub = np.where(a_major, seg, nbv).astype(np.int64)
+    sub_of = np.repeat(np.arange(len(counts)), n_sub)
+    first = np.cumsum(n_sub) - n_sub
+    x = np.arange(len(sub_of), dtype=np.int64) - first[sub_of]
+    am = a_major[sub_of]
+    const_base = np.where(am, ba[sub_of], bb[sub_of]).astype(np.int64)
+    const_vals = flat_host[const_base + x]
+    base_iter = np.where(am, bb[sub_of], ba[sub_of]).astype(np.int32)
+    sub_counts = np.where(am, nbv[sub_of], seg[sub_of]).astype(np.int64)
+    return (sub_counts, const_vals.astype(np.int32), base_iter,
+            am.astype(np.int32), dvv[sub_of])
 
 
 def _strip_buckets(seg_lo: np.ndarray, seg_len: np.ndarray,
@@ -350,7 +377,8 @@ def _strip_sweep(
                                  config.min_distance, d_hi, T, Kp)
         if buckets is None:
             continue
-        counts, ba, bb, nbv, dvv = buckets
+        counts, cvals, biter, aconst, dvv = _expand_subbuckets(
+            flat_host, *buckets)
         cum = np.concatenate([[0], np.cumsum(counts)])
         total_strip = int(cum[-1])
         if total_strip == 0:
@@ -399,15 +427,15 @@ def _strip_sweep(
             Epad = _next_pow2(E)
             starts_h = np.full(Epad + 1, total_seg, np.int32)
             starts_h[:E + 1] = (cum[b0:b1 + 1] - base).astype(np.int32)
-            ba_h = np.zeros(Epad, np.int32)
-            ba_h[:E] = ba[b0:b1]
-            bb_h = np.zeros(Epad, np.int32)
-            bb_h[:E] = bb[b0:b1]
-            nb_h = np.ones(Epad, np.int32)
-            nb_h[:E] = nbv[b0:b1]
+            cv_h = np.zeros(Epad, np.int32)
+            cv_h[:E] = cvals[b0:b1]
+            bi_h = np.zeros(Epad, np.int32)
+            bi_h[:E] = biter[b0:b1]
+            ac_h = np.zeros(Epad, np.int32)
+            ac_h[:E] = aconst[b0:b1]
             dv_h = np.zeros(Epad, np.int32)
             dv_h[:E] = dvv[b0:b1]
-            arrs = (starts_h, ba_h, bb_h, nb_h, dv_h)
+            arrs = (starts_h, cv_h, bi_h, ac_h, dv_h)
             bufs = tuple(jax.device_put(x, repl) if repl is not None
                          else jax.device_put(x) for x in arrs)
             pos = 0

@@ -66,14 +66,44 @@ class ArrayContig:
     cross-checking oracle, the reference's own slow/fast verification
     pattern (reference cloud_contig.py:146-155)."""
 
+    # pending-buffer flush threshold: inserts land in a small sorted
+    # side table and fold into the main table only when it fills, so a
+    # placed read costs O(batch + pending) instead of an O(table) copy
+    _PENDING_CAP = 1 << 14
+
     def __init__(self, min_cloud_kmer_freq: int):
         self.min_cloud_kmer_freq = max(1, min_cloud_kmer_freq)
         self.max_pos = 0
         self.read_positions: Dict[str, int] = {}
         self._keys = np.empty(0, np.int64)     # sorted (pos << 32) | kmer
         self._cnts = np.empty(0, np.int64)
+        self._pkeys = np.empty(0, np.int64)    # pending: sorted, disjoint
+        self._pcnts = np.empty(0, np.int64)    # from _keys by construction
         self._positions: set = set()           # materialized positions
         self._freq_clouds_cache: Optional[Dict[int, set]] = None
+
+    def _flush_pending(self):
+        if not len(self._pkeys):
+            return
+        keys = np.concatenate([self._keys, self._pkeys])
+        cnts = np.concatenate([self._cnts, self._pcnts])
+        srt = np.argsort(keys, kind="stable")   # disjoint: plain merge
+        self._keys, self._cnts = keys[srt], cnts[srt]
+        self._pkeys = np.empty(0, np.int64)
+        self._pcnts = np.empty(0, np.int64)
+
+    @staticmethod
+    def _probe(table_keys: np.ndarray, table_cnts: np.ndarray,
+               ukeys: np.ndarray):
+        """(exists_mask, idx, counts) of ukeys against one sorted table."""
+        n = len(table_keys)
+        idx = np.searchsorted(table_keys, ukeys)
+        if n:
+            idxc = np.minimum(idx, n - 1)
+            exists = (idx < n) & (table_keys[idxc] == ukeys)
+            return exists, idx, np.where(exists, table_cnts[idxc], 0)
+        z = np.zeros(len(ukeys), np.int64)
+        return np.zeros(len(ukeys), bool), idx, z
 
     def add_read(self, read_clouds: ReadClouds, position: int
                  ) -> List[Tuple[int, int]]:
@@ -96,22 +126,24 @@ class ArrayContig:
         if not parts:
             return []
         ukeys, inc = np.unique(np.concatenate(parts), return_counts=True)
-        n_old = len(self._keys)
-        idx = np.searchsorted(self._keys, ukeys)
-        if n_old:
-            idxc = np.minimum(idx, n_old - 1)
-            exists = (idx < n_old) & (self._keys[idxc] == ukeys)
-            old = np.where(exists, self._cnts[idxc], 0)
-        else:
-            exists = np.zeros(len(ukeys), bool)
-            old = np.zeros(len(ukeys), np.int64)
+        in_main, idx_m, old_m = self._probe(self._keys, self._cnts, ukeys)
+        in_pend, idx_p, old_p = self._probe(self._pkeys, self._pcnts, ukeys)
+        old = old_m + old_p                     # tables are disjoint
         new = old + inc
-        if exists.any():
-            self._cnts[idx[exists]] = new[exists]
-        miss = ~exists
+        if in_main.any():
+            self._cnts[idx_m[in_main]] = new[in_main]
+        if in_pend.any():
+            self._pcnts[idx_p[in_pend]] = new[in_pend]
+        miss = ~(in_main | in_pend)
         if miss.any():
-            self._keys = np.insert(self._keys, idx[miss], ukeys[miss])
-            self._cnts = np.insert(self._cnts, idx[miss], new[miss])
+            # fold fresh keys into the pending table: both sides sorted
+            # and disjoint, so a searchsorted insert is a linear merge
+            # (the pending table is small — at most _PENDING_CAP)
+            at = np.searchsorted(self._pkeys, ukeys[miss])
+            self._pkeys = np.insert(self._pkeys, at, ukeys[miss])
+            self._pcnts = np.insert(self._pcnts, at, new[miss])
+            if len(self._pkeys) > self._PENDING_CAP:
+                self._flush_pending()
         f = self.min_cloud_kmer_freq
         newly = ukeys[(old < f) & (new >= f)]
         if len(newly):
@@ -124,11 +156,13 @@ class ArrayContig:
     def occurrence_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
         """(kmers, positions) over every (pos, kmer) pair seen >= 1 time,
         sorted by (pos, kmer) — CloudContig.kmer_positions as flat arrays."""
+        self._flush_pending()
         return self._keys & _KMASK, self._keys >> np.int64(32)
 
     def freq_kmer_array(self) -> np.ndarray:
         """Sorted unique k-mers frequent at >= 1 position (the reference's
         global freq_kmers set)."""
+        self._flush_pending()
         f = self._cnts >= self.min_cloud_kmer_freq
         return np.unique(self._keys[f] & _KMASK)
 
@@ -160,6 +194,7 @@ class ArrayContig:
         add_read promotes new pairs)."""
         if self._freq_clouds_cache is None:
             from collections import defaultdict
+            self._flush_pending()
             d: Dict[int, set] = defaultdict(set)
             fkeys = self._keys[self._cnts >= self.min_cloud_kmer_freq]
             for k in fkeys.tolist():
