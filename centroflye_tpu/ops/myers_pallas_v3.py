@@ -1,9 +1,10 @@
-"""Pallas Myers kernel, chunked-carry layout (production candidate).
+"""Pallas Myers kernel, chunked-carry layout — THE production kernel
+(earlier whole-axis-roll generations were measured slower and archived;
+see git history for ops/myers_pallas.py / ops/myers_pallas_v2.py).
 
-Same math and contract as ops/myers_pallas_v2.myers_hw_pallas_v2 — state
-is (W, TILE_B) uint32, words on sublanes, reads on lanes — but the
+State is (W, TILE_B) uint32, words on sublanes, reads on lanes; the
 multiword carry chains run per 8-word chunk instead of over the full
-word axis. In v2 every Kogge-Stone step rolls the whole (W, TILE_B)
+word axis. A whole-axis Kogge-Stone step rolls the entire (W, TILE_B)
 state (W=65 for DXZ1: ~9 vregs per roll, 16 rolls per column); here each
 chunk does its 3 carry steps on a single (8, 128) vreg and passes one
 (1, TILE_B) carry vector to the next chunk. The serialized cross-chunk
@@ -600,3 +601,24 @@ def myers_hw_pallas_v3_2strand(peq_f: jnp.ndarray, peq_r: jnp.ndarray,
     dist_f, end_f, dist_r, end_r = outs
     return {"dist_f": dist_f[0], "end_f": end_f[0],
             "dist_r": dist_r[0], "end_r": end_r[0]}
+
+
+def recruit_distances_pallas(peq_fwd, peq_rc, codes, lens, *, m: int):
+    """Two-strand recruitment distances with the production Pallas kernel
+    (the fused two-strand chunked-carry pass — shared text loads, masks
+    and loop overhead between strands); codes is the standard (B, L)
+    batch (transposed + row-padded internally). Role: the reference
+    recruiter's per-read two-strand edlibAlign (rr.cpp:74-79)."""
+    codes = np.asarray(codes)
+    lens = np.asarray(lens)
+    B, L = codes.shape
+    pad = (-B) % TILE_B
+    if pad:
+        codes = np.concatenate(
+            [codes, np.full((pad, L), 4, np.int8)], axis=0)
+        lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+    text_t = jnp.asarray(codes).T
+    lens2 = jnp.asarray(lens).reshape(-1, 1).astype(jnp.int32)
+    out = myers_hw_pallas_v3_2strand(
+        jnp.asarray(peq_fwd), jnp.asarray(peq_rc), text_t, lens2, m=m)
+    return out["dist_f"][:B], out["dist_r"][:B]

@@ -1,33 +1,34 @@
-"""Pallas recruitment kernel vs the scan kernel and the DP oracle
-(interpret mode on CPU; the real-chip path is exercised by bench.py)."""
+"""Pallas recruitment kernel (the consolidated v3 chunked-carry
+generation) vs the scan kernel and the DP oracle (interpret mode on CPU;
+the real-chip path is exercised by bench.py and
+benchmarks/bench_myers_v3.py)."""
 
-import jax
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from centroflye_tpu.io import encode, encode_batch
 from centroflye_tpu.ops.myers import (
     build_peq, myers_distance_batch, edit_distance_oracle,
 )
+from centroflye_tpu.ops.myers_pallas_v3 import (
+    TILE_B, myers_hw_pallas_v3, myers_hw_pallas_v3_banded,
+    recruit_distances_pallas,
+)
 
 
 def run_pallas(query, texts, L=256):
-    from centroflye_tpu.ops import myers_pallas as mp
     peq = build_peq(encode(query))
     codes, lens = encode_batch(texts, max_len=L)
-    # pad batch to TILE_B multiple
     B = len(texts)
-    pad = (-B) % mp.TILE_B
+    pad = (-B) % TILE_B
     if pad:
         codes = np.concatenate(
             [codes, np.full((pad, L), 4, np.int8)], axis=0)
         lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-    import jax.numpy as jnp
-    with jax.disable_jit(False):
-        from jax.experimental import pallas as pl
-        out = mp.myers_hw_pallas(
-            jnp.asarray(peq), jnp.asarray(codes).T,
-            jnp.asarray(lens).reshape(-1, 1), m=len(query))
+    out = myers_hw_pallas_v3(
+        jnp.asarray(peq), jnp.asarray(codes).T,
+        jnp.asarray(lens).reshape(-1, 1), m=len(query))
     return (np.asarray(out["dist"])[:B], np.asarray(out["end"])[:B])
 
 
@@ -43,8 +44,9 @@ def test_pallas_matches_oracle(m, rng, make_dna):
 
 
 @pytest.mark.slow
-def test_pallas_matches_scan_kernel(rng, make_dna):
-    q = make_dna(150)
+@pytest.mark.parametrize("m", [150, 203])
+def test_pallas_matches_scan_kernel(rng, make_dna, m):
+    q = make_dna(m)
     texts = [make_dna(int(rng.integers(100, 500))) for _ in range(16)]
     dist, end = run_pallas(q, texts, L=512)
     peq = build_peq(encode(q))
@@ -56,12 +58,11 @@ def test_pallas_matches_scan_kernel(rng, make_dna):
 
 @pytest.mark.slow
 def test_pallas_recruit_distances(make_dna, rng):
-    from centroflye_tpu.ops.myers_pallas import recruit_distances_pallas
     from centroflye_tpu.io.encoding import revcomp, encode as enc
     from centroflye_tpu.pipeline.simulate import add_read_noise
+    from centroflye_tpu.io.encoding import revcomp_str
     unit = make_dna(120)
     fwd_read = add_read_noise(rng, unit * 3, 0.05)
-    from centroflye_tpu.io.encoding import revcomp_str
     rc_read = revcomp_str(fwd_read)
     bg = make_dna(400)
     codes, lens = encode_batch(
@@ -76,58 +77,12 @@ def test_pallas_recruit_distances(make_dna, rng):
 
 
 @pytest.mark.slow
-def test_pallas_v2_matches_v1(rng, make_dna):
-    import jax.numpy as jnp
-    from centroflye_tpu.ops import myers_pallas as mp
-    from centroflye_tpu.ops.myers_pallas_v2 import myers_hw_pallas_v2
-    q = make_dna(150)
-    texts = [make_dna(int(rng.integers(50, 400))) for _ in range(16)]
-    peq = build_peq(encode(q))
-    codes, lens = encode_batch(texts, max_len=512)
-    B = len(texts)
-    pad = (-B) % mp.TILE_B
-    codes = np.concatenate([codes, np.full((pad, 512), 4, np.int8)])
-    lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-    ct = jnp.asarray(codes).T
-    l2 = jnp.asarray(lens).reshape(-1, 1)
-    o1 = mp.myers_hw_pallas(jnp.asarray(peq), ct, l2, m=len(q))
-    o2 = myers_hw_pallas_v2(jnp.asarray(peq), ct, l2, m=len(q))
-    assert np.array_equal(np.asarray(o1["dist"]), np.asarray(o2["dist"]))
-    assert np.array_equal(np.asarray(o1["end"]), np.asarray(o2["end"]))
-
-
-@pytest.mark.slow
-def test_pallas_v3_matches_v2(rng, make_dna):
-    import jax.numpy as jnp
-    from centroflye_tpu.ops import myers_pallas as mp
-    from centroflye_tpu.ops.myers_pallas_v2 import myers_hw_pallas_v2
-    from centroflye_tpu.ops.myers_pallas_v3 import myers_hw_pallas_v3
-    q = make_dna(203)
-    texts = [make_dna(int(rng.integers(50, 400))) for _ in range(16)]
-    peq = build_peq(encode(q))
-    codes, lens = encode_batch(texts, max_len=512)
-    B = len(texts)
-    pad = (-B) % mp.TILE_B
-    codes = np.concatenate([codes, np.full((pad, 512), 4, np.int8)])
-    lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-    ct = jnp.asarray(codes).T
-    l2 = jnp.asarray(lens).reshape(-1, 1)
-    o2 = myers_hw_pallas_v2(jnp.asarray(peq), ct, l2, m=len(q))
-    o3 = myers_hw_pallas_v3(jnp.asarray(peq), ct, l2, m=len(q))
-    assert np.array_equal(np.asarray(o2["dist"]), np.asarray(o3["dist"]))
-    assert np.array_equal(np.asarray(o2["end"]), np.asarray(o3["end"]))
-
-
-@pytest.mark.slow
 @pytest.mark.parametrize("m,L,k", [(507, 1024, 90), (2055, 2048, 350)])
 def test_pallas_v3_banded_matches_unbanded(rng, make_dna, m, L, k):
     """Threshold-k banded kernel: exact where dist <= k, sentinel (m, -1)
     elsewhere — the bounded-edlib contract of the reference recruiter
     (rr.cpp:74-79). Mix of in-band (noisy embedded unit) and out-of-band
     (random) lanes so both the tight and blown-up band regimes run."""
-    import jax.numpy as jnp
-    from centroflye_tpu.ops.myers_pallas_v3 import (
-        TILE_B, myers_hw_pallas_v3, myers_hw_pallas_v3_banded)
     q = make_dna(m)
     texts = []
     for b in range(24):
