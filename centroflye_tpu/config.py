@@ -39,6 +39,12 @@ class RecruitmentConfig:
     prefilter: bool = True
     seed_k: int = 13
     min_seed_hits: int = 8
+    # Sequence-parallel long-read overflow (parallel/seq_parallel): when a
+    # mesh is present, reads at least this long are scored WHOLE — DP
+    # columns sharded over the mesh with ICI carry handoff — instead of
+    # host-segmented (bit-identical distances; the ring-attention
+    # analogue of SURVEY §5). 0 disables.
+    seq_parallel_min_len: int = 3 * 32768
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,6 +85,13 @@ class RecruitmentEngine:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        # sequence-parallel long-read tier: whole-read scoring with DP
+        # columns sharded over the mesh (parallel/seq_parallel) — active
+        # only with a real multi-device mesh
+        self.seqpar_min = (self.config.seq_parallel_min_len
+                           if (mesh is not None
+                               and self.config.seq_parallel_min_len)
+                           else 0)
         # in-flight fused-bundle queue depth: 2 measured best through the
         # dev tunnel (deeper queues add no overlap, the link serializes)
         self.queue_depth = 2
@@ -126,7 +133,7 @@ class RecruitmentEngine:
     def distances(self, codes: np.ndarray, lens: np.ndarray):
         """(B, SEG) int8 batch -> (dist_fwd, dist_rc) each (B,) int32."""
         if self.use_pallas:
-            from centroflye_tpu.ops.myers_pallas import (
+            from centroflye_tpu.ops.myers_pallas_v3 import (
                 recruit_distances_pallas)
             return recruit_distances_pallas(
                 self.peq_fwd, self.peq_rc, codes, lens, m=self.m)
@@ -154,6 +161,13 @@ class RecruitmentEngine:
            budget and for rows with in-range N bases (the packed prescan
            is blind to N).
         Failing segments resolve immediately as non-matching (dist = m).
+
+        With a mesh present, reads >= config.seq_parallel_min_len take
+        the SEQUENCE-PARALLEL tier instead: the whole read's DP columns
+        shard over the mesh with ICI carry handoff
+        (parallel/seq_parallel) — no host segmentation, bit-identical
+        distances (the whole-read HW minimum equals the
+        overlapped-segment minimum).
         """
         SEG = self.seg_len
         prefilter = self.config.prefilter
@@ -354,6 +368,38 @@ class RecruitmentEngine:
                     recruited=min(mf, mr) <= self.threshold)
                 next_emit += 1
 
+        # sequence-parallel long-read tier: whole reads batched and
+        # scored with DP columns sharded over the mesh (exact — the
+        # whole-read HW minimum equals the overlapped-segment minimum)
+        long_batch: List[Tuple[int, np.ndarray]] = []
+        LB = 8
+
+        def flush_seqpar():
+            nonlocal long_batch
+            if not long_batch:
+                return
+            from centroflye_tpu.parallel.seq_parallel import (
+                myers_distance_seqparallel)
+            axis = self.mesh.axis_names[0]
+            Lmax = max(len(c) for _, c in long_batch)
+            Lb = -(-Lmax // SEG) * SEG      # bucketed shape: few compiles
+            Bn = len(long_batch)
+            text = np.full((Bn, Lb), PAD, np.int8)
+            lens_l = np.zeros((Bn,), np.int32)
+            for i, (_, c) in enumerate(long_batch):
+                text[i, :len(c)] = c
+                lens_l[i] = len(c)
+            out_f = myers_distance_seqparallel(
+                self.peq_fwd, text, lens_l, m=self.m,
+                mesh=self.mesh, axis=axis)
+            out_r = myers_distance_seqparallel(
+                self.peq_rc, text, lens_l, m=self.m,
+                mesh=self.mesh, axis=axis)
+            for i, (ridx, _) in enumerate(long_batch):
+                resolve(ridx, int(out_f["dist"][i]),
+                        int(out_r["dist"][i]))
+            long_batch = []
+
         read_idx = 0
         for r_id, seq in reads:
             is_arr = isinstance(seq, np.ndarray)
@@ -364,6 +410,16 @@ class RecruitmentEngine:
             else:
                 codes = seq if is_arr else encode(seq)
                 n_len = len(codes)
+            if self.seqpar_min and n_len >= self.seqpar_min:
+                pending[read_idx] = [r_id, 1, self.m, self.m]
+                order.append(read_idx)
+                c = codes if codes is not None else encode(seq)
+                long_batch.append((read_idx, np.asarray(c, np.int8)))
+                if len(long_batch) >= LB:
+                    flush_seqpar()
+                    yield from emit_ready()
+                read_idx += 1
+                continue
             starts = segment_starts(n_len, SEG, self.overlap)
             pending[read_idx] = [r_id, len(starts), self.m, self.m]
             order.append(read_idx)
@@ -404,6 +460,7 @@ class RecruitmentEngine:
                     enqueue_myers(codes[st:st + SEG], ln, read_idx)
                     yield from emit_ready()
             read_idx += 1
+        flush_seqpar()
         if prefilter:
             flush_prescan()
             flush_cands()

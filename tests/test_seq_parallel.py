@@ -71,3 +71,42 @@ def test_seqparallel_pads_ragged_shapes(mesh, make_dna):
         peq, codes, lens, m=len(unit), mesh=mesh, mode="HW", n_micro=2)
     assert np.array_equal(out["dist"], np.asarray(ref["dist"]))
     assert np.array_equal(out["end"], np.asarray(ref["end"]))
+
+
+def test_recruitment_engine_seqpar_tier_identity(rng, make_dna,
+                                                 make_mutant):
+    """PRODUCTION wiring: RecruitmentEngine routes reads >=
+    config.seq_parallel_min_len through the sequence-parallel tier when a
+    mesh is present; decisions and distances must be identical to the
+    meshless host-segmented engine (device-count identity through the
+    engine entry)."""
+    from centroflye_tpu.config import RecruitmentConfig
+    from centroflye_tpu.io.encoding import revcomp_str
+    from centroflye_tpu.parallel.mesh import make_mesh
+    from centroflye_tpu.stages.recruitment import RecruitmentEngine
+
+    unit = make_dna(150)
+    long_tandem = make_mutant(unit * 40, n_sub=120, n_ins=40, n_del=40)
+    reads = [
+        ("long_cen", long_tandem),                       # seq-par tier
+        ("long_cen_rc", revcomp_str(long_tandem)),       # seq-par tier
+        ("long_bg", make_dna(6200)),                     # seq-par tier
+        ("short_cen", make_mutant(unit * 4, n_sub=12, n_ins=4, n_del=4)),
+        ("short_bg", make_dna(900)),
+        ("long_n", long_tandem[:3000] + "N" * 50 + long_tandem[3000:]),
+    ]
+    cfg = RecruitmentConfig(threshold=40, batch_size=16,
+                            prefilter=False, seq_parallel_min_len=4096)
+    results = {}
+    for tag, mesh in (("mesh", make_mesh(8)), ("single", None)):
+        eng = RecruitmentEngine(unit, cfg, seg_len=2048, mesh=mesh)
+        results[tag] = [(r.r_id, r.dist_fwd, r.dist_rc, r.recruited)
+                        for r in eng.run(reads)]
+    assert results["mesh"] == results["single"]
+    # the tier must actually engage: the engine with a mesh has a
+    # nonzero seq-parallel threshold and the long reads exceed it
+    eng = RecruitmentEngine(unit, cfg, seg_len=2048, mesh=make_mesh(8))
+    assert eng.seqpar_min == 4096
+    got = {r.r_id: r.recruited for r in eng.run(reads)}
+    assert got["long_cen"] and got["long_cen_rc"] and got["short_cen"]
+    assert not got["long_bg"] and not got["short_bg"]
