@@ -134,28 +134,41 @@ def polish_round(template: str, reads: Sequence[str]) -> str:
 
 
 def vote_from_cigars(template: str, cigars: Sequence[str],
-                     reads: Sequence[str]) -> str:
-    """Majority rewrite of `template` from read-vs-template CIGARs that
-    each cover the full template ('I' = extra read char, 'D' = read
-    deletion). Callers holding template-vs-read alignments (e.g. the
-    final-polish HW anchors) transpose by swapping I<->D first — the
-    aligned pairs are identical, only the op labels flip."""
+                     reads: Sequence[str],
+                     offsets: Optional[Sequence[int]] = None,
+                     min_coverage: int = 1) -> str:
+    """Majority rewrite of `template` from read-vs-template CIGARs
+    ('I' = extra read char, 'D' = read deletion). Callers holding
+    template-vs-read alignments (e.g. the final-polish HW anchors)
+    transpose by swapping I<->D first — the aligned pairs are identical,
+    only the op labels flip.
+
+    offsets[i] is the template column where cigar i starts (default 0 —
+    full-template coverage, the eltr polisher's case). A cigar votes
+    only on the columns it covers; columns covered by fewer than
+    min_coverage cigars keep the template character (and gaps covered by
+    fewer than min_coverage cast no insertion), so partially-overlapping
+    reads contribute votes near their ends instead of being discarded
+    wholesale."""
     n = len(template)
-    n_reads = len(reads)
 
     # run-length voting: '='/'D' runs as difference arrays, 'X'/'I' as
-    # sparse per-event lists (NW covers every template column, so each
-    # read casts exactly one base vote per column and one insertion vote
-    # — possibly '' — per gap)
+    # sparse per-event lists (a cigar covers every template column in
+    # [offset, offset + consumed), so each read casts exactly one base
+    # vote per covered column and one insertion vote — possibly '' —
+    # per covered gap)
     match_diff = np.zeros(n + 1, np.int64)
     del_diff = np.zeros(n + 1, np.int64)
+    cov_diff = np.zeros(n + 1, np.int64)      # covered columns
+    gap_cov_diff = np.zeros(n + 2, np.int64)  # covered gaps [off, off+len]
     x_pos: List[int] = []
     x_idx: List[int] = []
     extra: Counter = Counter()        # (col, char) for non-ACGT read chars
     ins_nonempty = np.zeros(n + 1, np.int64)
     ins_by_gap: Dict[int, Counter] = {}   # gap -> {string: count}
-    for cigar, read in zip(cigars, reads):
-        t = 0
+    for ci, (cigar, read) in enumerate(zip(cigars, reads)):
+        t = 0 if offsets is None else int(offsets[ci])
+        t0 = t
         r = 0
         for length, op in _iter_cigar(cigar):
             if op == "=":
@@ -182,7 +195,13 @@ def vote_from_cigars(template: str, cigars: Sequence[str],
                     read[r:r + length]] += 1
                 ins_nonempty[t] += 1
                 r += length
+        cov_diff[t0] += 1
+        cov_diff[min(t, n)] -= 1
+        gap_cov_diff[t0] += 1
+        gap_cov_diff[min(t, n) + 1] -= 1
 
+    cov = np.cumsum(cov_diff)[:n]
+    gap_cov = np.cumsum(gap_cov_diff)[:n + 1]
     counts = np.zeros((n, 5), np.int64)
     counts[:, 0] = np.cumsum(del_diff)[:n]
     tidx = np.array([_BASE_IDX.get(c, 0) for c in template], np.int64)
@@ -204,7 +223,9 @@ def vote_from_cigars(template: str, cigars: Sequence[str],
 
     ins_gaps: Dict[int, str] = {}
     for g, c in ins_by_gap.items():
-        empty = n_reads - int(ins_nonempty[g])
+        if int(gap_cov[g]) < min_coverage:
+            continue
+        empty = int(gap_cov[g]) - int(ins_nonempty[g])
         cand = Counter(c)
         if empty > 0:
             cand[""] += empty
@@ -215,6 +236,9 @@ def vote_from_cigars(template: str, cigars: Sequence[str],
         ins = ins_gaps.get(j, "")
         if ins:
             out.append(ins)
+        if cov[j] < min_coverage:
+            out.append(template[j])
+            continue
         base = overrides.get(j)
         if base is None:
             base = _IDX_BASE[best[j]]

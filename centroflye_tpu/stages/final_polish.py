@@ -49,8 +49,8 @@ _TRANSPOSE = str.maketrans("ID", "DI")
 
 
 def _anchor_segments_batched(tasks, max_div: float):
-    """Run every (window, template, target) anchor alignment as ONE
-    threaded native pairs batch; returns {task_index: (segment,
+    """Run every (window, template, target, offset) anchor alignment as
+    ONE threaded native pairs batch; returns {task_index: (segment,
     read-vs-template cigar)} applying the same filters as
     _anchor_segment. The HW cigar is template-vs-read; swapping I<->D
     transposes it to the read-vs-template orientation the voting core
@@ -64,17 +64,19 @@ def _anchor_segments_batched(tasks, max_div: float):
     res = None
     if tasks and native_align_path_pairs is not None:
         res = native_align_path_pairs(
-            [encode(tm) for (_, tm, _) in tasks],
-            [encode(tg) for (_, _, tg) in tasks], mode="HW")
+            [encode(t[1]) for t in tasks],
+            [encode(t[2]) for t in tasks], mode="HW")
     out = {}
     if res is not None and all(r[0] >= 0 for r in res):
-        for idx, ((_, template, target), (dist, cig, ts, te)) in enumerate(
+        for idx, (task, (dist, cig, ts, te)) in enumerate(
                 zip(tasks, res)):
+            template, target = task[1], task[2]
             if dist > max_div * len(template) or te <= ts:
                 continue
             out[idx] = (target[ts:te], cig.translate(_TRANSPOSE))
         return out
-    for idx, (_, template, target) in enumerate(tasks):
+    for idx, task in enumerate(tasks):
+        template, target = task[1], task[2]
         al = align_path(template, target, mode="HW")
         if al.dist > max_div * len(template) or al.t_end <= al.t_start:
             continue
@@ -118,41 +120,55 @@ def polish_assembly_with_reads(
             bounds.append((a, b))
             a = b
         margin = window // 3 + 64
-        # collect every (window, read) anchor task, run them as one
-        # threaded native pairs batch, then vote per window
+        # conservative clip at read-estimated boundaries: span estimates
+        # carry a few hundred bp of drift, so a partially-overlapping
+        # read votes only on the part of the window it confidently
+        # covers (losing up to `shrink` columns per read end instead of
+        # the whole window, as full-containment-only voting did)
+        shrink = window // 8 + 32
+        min_sub = max(64, window // 4)
+        # collect every (window, clipped template, read segment, column
+        # offset) anchor task, run them as one threaded native pairs
+        # batch, then vote per window with per-column coverage gating
         tasks = []
         for w, (a, b) in enumerate(bounds):
-            template = cur[a:b]
             for seq, fs, fe in read_spans:
                 s = fs * n
                 e = fe * n
-                # full containment only: a read covering part of the
-                # window would vote deletions over the uncovered columns
-                if s > a or e < b:
+                if s >= b or e <= a:
                     continue
-                # read-local coordinates of the window, with drift margin
-                lo = int(a - s) - margin
-                hi = int(b - s) + margin
+                ta = a if s <= a else min(b, int(s) + shrink)
+                tb = b if e >= b else max(a, int(e) - shrink)
+                if tb - ta < min_sub:
+                    continue
+                template = cur[ta:tb]
+                # read-local coordinates of the clipped window, with
+                # drift margin
+                lo = int(ta - s) - margin
+                hi = int(tb - s) + margin
                 target = seq[max(0, lo):min(len(seq), hi)]
                 if len(target) < len(template) // 2:
                     continue
-                tasks.append((w, template, target))
+                tasks.append((w, template, target, ta - a))
         anchored = _anchor_segments_batched(tasks, max_div)
         segs_by_window: Dict[int, list] = {}
-        for idx, seg_cig in anchored.items():
-            segs_by_window.setdefault(tasks[idx][0], []).append(seg_cig)
+        for idx, (seg, cig) in anchored.items():
+            segs_by_window.setdefault(tasks[idx][0], []).append(
+                (seg, cig, tasks[idx][3]))
         pieces = []
         for w, (a, b) in enumerate(bounds):
             template = cur[a:b]
             pairs = segs_by_window.get(w, [])
-            # below min_coverage a lone noisy read would simply replace
-            # the template wholesale — keep the template instead;
+            # per-column gating: columns covered by < min_coverage reads
+            # keep the template (a lone noisy read cannot replace it);
             # voting reuses the anchor alignments directly (no NW
             # re-alignment of segments the anchor pass already aligned)
-            if len(pairs) >= min_coverage:
+            if pairs:
                 pieces.append(vote_from_cigars(
-                    template, [c for _, c in pairs],
-                    [s for s, _ in pairs]))
+                    template, [c for _, c, _ in pairs],
+                    [s for s, _, _ in pairs],
+                    offsets=[o for _, _, o in pairs],
+                    min_coverage=min_coverage))
             else:
                 pieces.append(template)
         cur = "".join(pieces)
@@ -207,4 +223,21 @@ def run_final_polish(assembly: str,
     for it, seq in polished.items():
         write_seqs(os.path.join(pol_dir, f"polished_{it}.fasta"),
                    {f"polished_{it}": seq})
+    # convergence diagnostics between successive iterations, plain and
+    # homopolymer-compressed (the reference polish-comparison pattern,
+    # eltr_polisher.py:133-146)
+    from centroflye_tpu.io.encoding import compress_homopolymer
+    from centroflye_tpu.stages.polisher import _edit_distance
+    chain = [assembly] + [polished[i] for i in sorted(polished)]
+    with open(os.path.join(outdir, "report.txt"), "w") as f:
+        for i in range(len(chain) - 1):
+            a, b = chain[i], chain[i + 1]
+            d = _edit_distance(a, b)
+            dh = _edit_distance(compress_homopolymer(a),
+                                compress_homopolymer(b))
+            print(f"Final polishing seq {i} vs {i + 1}:", file=f)
+            print({"editDistance": d}, file=f)
+            print(f"Final polishing homopolymer compressed seq {i} vs "
+                  f"{i + 1}:", file=f)
+            print({"editDistance": dh}, file=f)
     return polished.get(n_iters, assembly)

@@ -122,6 +122,12 @@ class ArrayContig:
         for i, cloud in enumerate(read_clouds.clouds):
             if len(cloud):
                 c = cloud.astype(np.int64)
+                # keys pack as (pos << 32) | kmer: an out-of-range index
+                # would silently alias into the position field
+                if int(c.min()) < 0 or int(c.max()) >= (1 << 32):
+                    raise ValueError(
+                        f"k-mer index out of [0, 2^32) in read "
+                        f"{read_clouds.r_id!r} cloud {i}")
                 parts.append((np.int64(i + position) << np.int64(32)) | c)
         if not parts:
             return []
@@ -190,17 +196,20 @@ class ArrayContig:
 
     @property
     def freq_clouds(self) -> Dict[int, set]:
-        """pos -> set of k-mers frequent at pos (cached; invalidated when
-        add_read promotes new pairs)."""
+        """pos -> set of k-mers frequent at pos (computed from a private
+        cache; callers get a fresh defaultdict COPY each call, so probing
+        a missing position or mutating a returned set cannot corrupt the
+        cache — the oracle CloudContig rebuilds its dict per call too)."""
+        from collections import defaultdict
         if self._freq_clouds_cache is None:
-            from collections import defaultdict
             self._flush_pending()
-            d: Dict[int, set] = defaultdict(set)
+            d: Dict[int, set] = {}
             fkeys = self._keys[self._cnts >= self.min_cloud_kmer_freq]
             for k in fkeys.tolist():
-                d[k >> 32].add(k & 0xFFFFFFFF)
+                d.setdefault(k >> 32, set()).add(k & 0xFFFFFFFF)
             self._freq_clouds_cache = d
-        return self._freq_clouds_cache
+        return defaultdict(
+            set, {p: set(s) for p, s in self._freq_clouds_cache.items()})
 
     def calc_inters_score(self, read_clouds: ReadClouds,
                           min_position: int = 0,
@@ -313,10 +322,17 @@ class FastPlacer:
         self.S1 = np.zeros((R, self.P), np.int32)
         self.placed = np.zeros(R, bool)
         # per-cell match-count cache for score0's distinct-t rule:
-        # key (r, o, t) -> processed-pair hits; cells absent from the
-        # cache fall back to the initial-snapshot intersection count,
-        # precomputed once as a sorted (key, count) table
-        self._cnt: Dict[int, int] = {}
+        # key (r, o, t) -> processed-pair hits, held as a sorted
+        # (key, value) main table plus a small sorted pending table
+        # (disjoint from main; folded in when it fills) — every probe
+        # and update is a vectorized searchsorted pass, no per-element
+        # Python. Cells absent from both tables fall back to the
+        # initial-snapshot intersection count, precomputed once as a
+        # sorted (key, count) table
+        self._cnt_keys = np.empty(0, np.int64)
+        self._cnt_vals = np.empty(0, np.int64)
+        self._cnt_pkeys = np.empty(0, np.int64)
+        self._cnt_pvals = np.empty(0, np.int64)
         self._init_sets = _initial_pair_sets(contig)
         assert self.T < (1 << 20), "unit index overflows cell-key packing"
         self._base_keys, self._base_vals = self._build_base_counts()
@@ -529,27 +545,39 @@ class FastPlacer:
         uri = ucells >> np.int64(40)
         uo = (ucells >> np.int64(20)) & np.int64((1 << 20) - 1)
 
-        # pre-update count per cell: the cache where present, else the
-        # initial-snapshot base table
-        cur = np.empty(len(ucells), np.int64)
-        miss = []
-        for i, k in enumerate(ucells.tolist()):
-            v = self._cnt.get(k)
-            if v is None:
-                miss.append(i)
-            else:
-                cur[i] = v
-        if miss:
-            mi = np.array(miss)
+        # pre-update count per cell: the sorted cache tables where
+        # present (main + pending are disjoint, so their probed values
+        # sum), else the initial-snapshot base table
+        in_main, idx_m, val_m = ArrayContig._probe(
+            self._cnt_keys, self._cnt_vals, ucells)
+        in_pend, idx_p, val_p = ArrayContig._probe(
+            self._cnt_pkeys, self._cnt_pvals, ucells)
+        cur = val_m + val_p
+        miss = ~(in_main | in_pend)
+        if miss.any():
             if len(self._base_keys):
-                p = np.searchsorted(self._base_keys, ucells[mi])
+                p = np.searchsorted(self._base_keys, ucells[miss])
                 p = np.minimum(p, len(self._base_keys) - 1)
-                hit = self._base_keys[p] == ucells[mi]
-                cur[mi] = np.where(hit, self._base_vals[p], 0)
+                hit = self._base_keys[p] == ucells[miss]
+                cur[miss] = np.where(hit, self._base_vals[p], 0)
             else:
-                cur[mi] = 0
-        for k, v in zip(ucells.tolist(), (cur + uinc).tolist()):
-            self._cnt[k] = v
+                cur[miss] = 0
+        newv = cur + uinc
+        if in_main.any():
+            self._cnt_vals[idx_m[in_main]] = newv[in_main]
+        if in_pend.any():
+            self._cnt_pvals[idx_p[in_pend]] = newv[in_pend]
+        if miss.any():
+            at = np.searchsorted(self._cnt_pkeys, ucells[miss])
+            self._cnt_pkeys = np.insert(self._cnt_pkeys, at, ucells[miss])
+            self._cnt_pvals = np.insert(self._cnt_pvals, at, newv[miss])
+            if len(self._cnt_pkeys) > ArrayContig._PENDING_CAP:
+                keys = np.concatenate([self._cnt_keys, self._cnt_pkeys])
+                vals = np.concatenate([self._cnt_vals, self._cnt_pvals])
+                srt = np.argsort(keys, kind="stable")
+                self._cnt_keys, self._cnt_vals = keys[srt], vals[srt]
+                self._cnt_pkeys = np.empty(0, np.int64)
+                self._cnt_pvals = np.empty(0, np.int64)
 
         # scatter the increments; several t cells may share one (r, o)
         flat = uri * np.int64(self.P) + uo

@@ -91,3 +91,35 @@ def test_spans_from_placements(rng):
     got = {s[0]: (s[1], s[2]) for s in spans}
     assert got["AAAA"] == (0.0, 0.4)
     assert got["CCCC"] == (0.4, 1.0)
+
+
+def test_partial_overlap_reads_vote_on_covered_columns(rng):
+    """Reads that only PARTIALLY cover a window must still vote on the
+    columns they cover (per-column coverage gating): with reads barely
+    longer than the window, almost no window is fully contained in any
+    read, yet errors must still be corrected. Full-containment-only
+    voting (the round-2 behavior) leaves every window at its template
+    here."""
+    truth = gen_random_seq(rng, 8000)
+    corrupted = _corrupt(rng, truth, 20)
+    assert corrupted != truth
+    spans = []
+    # head/tail depth: assembly-edge columns need >= min_coverage too
+    for _ in range(3):
+        spans.append((add_read_noise(rng, truth[:2500], 0.02),
+                      0.0, 2500 / len(truth)))
+    for st in range(0, 6000, 400):
+        en = min(len(truth), st + 2500)
+        seq = add_read_noise(rng, truth[st:en], 0.02)
+        spans.append((seq, st / len(truth), en / len(truth)))
+    for st in (5500, 5600, 5800, 6000):
+        spans.append((add_read_noise(rng, truth[st:], 0.02),
+                      st / len(truth), 1.0))
+    out = polish_assembly_with_reads(corrupted, spans, n_iters=2,
+                                     window=2000, min_coverage=3)
+    from centroflye_tpu.ops.align_path import align_path
+    before = align_path(corrupted, truth, mode="NW").dist
+    after = align_path(out[2], truth, mode="NW").dist
+    # the conservative clip keeps template near read-boundary columns,
+    # so demand a large reduction rather than perfection
+    assert after <= max(2, before // 5), (before, after)
