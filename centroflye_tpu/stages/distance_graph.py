@@ -56,6 +56,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -145,6 +146,79 @@ _pairs_from_buckets = jax.jit(
     _pairs_from_buckets_core, static_argnames=("chunk", "capacity"))
 
 
+@functools.partial(jax.jit, static_argnames=("min_d", "d_hi", "T", "Kp",
+                                             "Spad"))
+def _prep_strip_device(flat, seg_lo, seg_len, sizes, total_subs,
+                       total_pairs, *, min_d: int, d_hi: int, T: int,
+                       Kp: int, Spad: int):
+    """Device-side strip prep: derive the strip's SUB-BUCKET arrays
+    (starts cumsum, const-side k-mer values, iterated-side bases, sides,
+    distances) directly from the (R, T) per-row strip segments — the
+    only per-strip upload is seg_lo/seg_len (~KBs), replacing the
+    host-expanded 5x|sub-buckets| upload (~100s of MBs per strip; the
+    tunnel link, not compute, bounds that path).
+
+    The bucket grid (read r, unit t, distance d) is enumerated in the
+    STATIC order d-major then row-major — identical to the host
+    _strip_buckets enumeration including zero-count buckets, whose
+    boundary deltas coincide and collapse in the scatter+cumsum fills
+    exactly like empty sub-buckets do in the chunk kernel. Outputs feed
+    _pairs_from_buckets unchanged: (starts (Spad+1,), const_vals,
+    base_iter, a_const, dvals)."""
+    R = seg_lo.shape[0]
+    rr = jnp.arange(R, dtype=jnp.int32)[:, None]
+    pa, pn, pba, pbb, pd = [], [], [], [], []
+    for d in range(min_d, d_hi + 1):
+        w = T - d
+        if w <= 0:
+            break
+        tt = jnp.arange(w, dtype=jnp.int32)[None, :]
+        pa.append(seg_len[:, :w].ravel())
+        pn.append(sizes[:, d:].ravel())
+        pba.append((((rr * T + tt) * Kp) + seg_lo[:, :w]).ravel())
+        pbb.append(((rr * T + tt + d) * Kp).ravel())
+        pd.append(jnp.full((R * w,), d, jnp.int32))
+    aseg = jnp.concatenate(pa)
+    nbv = jnp.concatenate(pn)
+    ba = jnp.concatenate(pba)
+    bb = jnp.concatenate(pbb)
+    dv = jnp.concatenate(pd)
+    cnt = aseg * nbv
+    nsub = jnp.minimum(aseg, nbv)
+    am = (nbv >= aseg).astype(jnp.int32)
+    cbase = jnp.where(am == 1, ba, bb)
+    ibase = jnp.where(am == 1, bb, ba)
+    ilen = jnp.where(am == 1, nbv, aseg)
+    z1 = jnp.zeros((1,), jnp.int32)
+    bstart = jnp.concatenate([z1, jnp.cumsum(cnt)])
+    sstart = jnp.concatenate([z1, jnp.cumsum(nsub)])
+    spos = sstart[1:-1]              # sub-space bucket boundaries
+
+    def fill_s(vals):
+        deltas = vals[1:] - vals[:-1]
+        grid = jnp.zeros((Spad,), jnp.int32)
+        grid = grid.at[0].add(vals[0])
+        grid = grid.at[spos].add(deltas, mode="drop")
+        return jnp.cumsum(grid)
+
+    e = jnp.arange(Spad, dtype=jnp.int32)
+    x = e - fill_s(sstart[:-1])
+    cv = flat[jnp.maximum(fill_s(cbase) + x, 0)]
+    st = fill_s(bstart[:-1]) + x * fill_s(ilen)
+    bi = fill_s(ibase)
+    ac = fill_s(am)
+    dvs = fill_s(dv)
+    pad = e >= total_subs
+    st = jnp.where(pad, total_pairs, st)
+    cv = jnp.where(pad, 0, cv)
+    bi = jnp.where(pad, 0, bi)
+    ac = jnp.where(pad, 0, ac)
+    dvs = jnp.where(pad, 0, dvs)
+    starts = jnp.concatenate(
+        [st, jnp.full((1,), 1, jnp.int32) * total_pairs])
+    return starts, cv, bi, ac, dvs
+
+
 def _expand_subbuckets(flat_host: np.ndarray, counts: np.ndarray,
                        ba: np.ndarray, bb: np.ndarray, nbv: np.ndarray,
                        dvv: np.ndarray):
@@ -228,7 +302,8 @@ def _strip_sweep(
     tile_b: int = 32,                 # emission is exact, not tiled
     entry_chunk: Optional[int] = None,
     element_budget: int = 32 << 20,
-    strip_capacity: int = 1 << 25,
+    strip_capacity: int = 1 << 26,
+    subbucket_budget: int = 8 << 20,
     mesh=None,
 ):
     """Yield one sorted (i, j, d) -> count device table per i-range strip,
@@ -239,17 +314,22 @@ def _strip_sweep(
     membership is exact by construction: cloud rows are sorted, so a
     strip's elements within a row form one contiguous segment whose
     bounds the host reads off value-threshold counts. Pair emission is
-    EXACT: per strip the host ships one flat bucket list (a bucket =
-    one populated (read, unit, distance) triple with its pair-count
-    cumsum), and the device enumerates pair indices [0, total) in static
-    chunks, decoding each index to its (segment element, cloud element)
-    pair — every key entering a sort is a true pair observation, so sort
-    volume equals the pair-observation bound instead of the ~7x tile
-    outer-product slack, and per-chunk host uploads shrink to two
+    EXACT: per strip the host splits every populated (read, unit,
+    distance) bucket along its smaller cloud side into SUB-BUCKETS
+    (one smaller-side element, its k-mer value resolved on host, times
+    the whole larger side) and ships the flat sub-bucket list with its
+    pair-count cumsum; the device enumerates pair indices [0, total) in
+    static chunks, assigning each index its sub-bucket by scatter+cumsum
+    of the boundary deltas and fetching the iterated side with ONE flat
+    gather — every key entering a sort is a true pair observation, so
+    sort volume equals the pair-observation bound instead of the ~7x
+    tile outer-product slack, and per-chunk host uploads shrink to two
     scalars. entry_chunk counts PAIRS per device chunk. Chunk tables are
     sized to the chunk (overflow impossible — no host syncs) and merge
     into a binary forest; doubling on overflow remains the fallback for
-    capacity-saturated merges only."""
+    capacity-saturated merges only. Sub-bucket expansion happens per
+    SEGMENT (bucket slices bounded by both pair count and sub-bucket
+    count), so peak host memory is O(segment), not O(strip)."""
     R, T, K = clouds_tensor.shape
     # key packing is (i) x ((j << 8) | d) and the filter regroups by
     # (i << 24) | j — both alias silently if these bounds are exceeded
@@ -261,9 +341,6 @@ def _strip_sweep(
     if max_idx >= 1 << 24:
         raise ValueError(
             "rare k-mer index >= 2^24 overflows the packed pair key")
-    if K > 4000:
-        # in-bucket offsets must stay exact in f32 (the device divide)
-        raise ValueError(f"cloud width {K} > 4000 unsupported")
     # canonicalize rows: ascending valid entries front-packed, -1 pads
     # behind (strip segments and B-cloud slices index contiguous valid
     # prefixes; pad_clouds already emits this layout, synthetic callers
@@ -366,31 +443,78 @@ def _strip_sweep(
     logger.info(
         "distance sweep: %d strip(s), chunk %d pairs, capacity %d, "
         "pair-obs bound %d", n_strips, entry_chunk, capacity, bound)
+    # CENTROFLYE_DIST_PROFILE=1: per-strip phase breakdown with a device
+    # sync after every chunk (attribution is meaningless under async
+    # dispatch) — benchmarking aid, off in production
+    profile = os.environ.get("CENTROFLYE_DIST_PROFILE") == "1"
     yielded = False
     for s in range(n_strips):
+        ph = {"buckets": 0.0, "expand": 0.0, "upload": 0.0,
+              "chunks": 0.0, "fold": 0.0}
         t_strip = time.perf_counter()
         s_lo = s * strip_w
         s_hi = (s + 1) * strip_w if n_strips > 1 else max(max_idx + 1, 1)
         seg_lo = seg_los[:, :, s]
         seg_len = seg_his[:, :, s] - seg_lo
-        buckets = _strip_buckets(seg_lo, seg_len, sizes, n_units,
-                                 config.min_distance, d_hi, T, Kp)
-        if buckets is None:
-            continue
-        counts, cvals, biter, aconst, dvv = _expand_subbuckets(
-            flat_host, *buckets)
-        cum = np.concatenate([[0], np.cumsum(counts)])
-        total_strip = int(cum[-1])
+        # cheap reductions first: strip pair/sub-bucket totals without
+        # materializing the bucket grid on host
+        total_strip = 0
+        total_subs = 0
+        for d in range(config.min_distance, d_hi + 1):
+            if d >= T:
+                break
+            a = seg_len[:, :T - d]
+            b = sizes[:, d:]
+            total_strip += int((a * b).sum())
+            total_subs += int(np.minimum(a, b).sum())
         if total_strip == 0:
             continue
-        # split the bucket list into consecutive segments of < 2^31
-        # pairs each: pair indices are int32 on device
-        seg_bounds = [0]
-        while int(cum[seg_bounds[-1]]) < total_strip:
-            nxt = int(np.searchsorted(
-                cum, cum[seg_bounds[-1]] + (1 << 30), side="right")) - 1
-            nxt = max(nxt, seg_bounds[-1] + 1)
-            seg_bounds.append(min(nxt, len(counts)))
+        # device-grid path: the bucket grid and sub-bucket expansion
+        # are derived ON DEVICE from the (R, T) strip segments — the
+        # per-strip upload drops from 5x|sub-buckets| arrays to two
+        # (R, T) planes. Falls back to the host bucket path on meshes
+        # (the sharded step consumes replicated host buffers) and when
+        # a single strip exceeds int32 pair indexing.
+        devgrid = (n_dev == 1 and total_strip < (1 << 31)
+                   and total_subs < (1 << 31)
+                   and os.environ.get(
+                       "CENTROFLYE_NO_DEVGRID") != "1")
+        nb_buckets = sum(R * max(0, T - d) for d in range(
+            config.min_distance, d_hi + 1))
+        n_subs_log = total_subs
+        seg_bounds = None
+        if not devgrid:
+            t0 = time.perf_counter()
+            buckets = _strip_buckets(seg_lo, seg_len, sizes, n_units,
+                                     config.min_distance, d_hi, T, Kp)
+            ph["buckets"] = time.perf_counter() - t0
+            if buckets is None:
+                continue
+            cnts_b, ba, bb, nbv, dvv = buckets
+            # per-bucket sub-bucket count (the smaller cloud side): host
+            # expansion memory is proportional to it, and with mostly
+            # size-1 clouds it approaches the pair count — so segment
+            # the BUCKET list first and expand per segment
+            n_sub_b = np.minimum(cnts_b // np.maximum(nbv, 1), nbv)
+            bcum = np.concatenate([[0], np.cumsum(cnts_b)])
+            bscum = np.concatenate([[0], np.cumsum(n_sub_b)])
+            n_subs_log = int(bscum[-1])
+            total_strip = int(bcum[-1])
+            if total_strip == 0:
+                continue
+            # segments bounded by both pair count (< 2^30: device pair
+            # indices are int32) and sub-bucket count (host memory)
+            seg_bounds = [0]
+            nb_buckets = len(cnts_b)
+            while seg_bounds[-1] < nb_buckets:
+                b0 = seg_bounds[-1]
+                p_lim = int(np.searchsorted(
+                    bcum, bcum[b0] + (1 << 30), side="right")) - 1
+                s_lim = int(np.searchsorted(
+                    bscum, bscum[b0] + subbucket_budget,
+                    side="right")) - 1
+                nxt = max(min(p_lim, s_lim), b0 + 1)
+                seg_bounds.append(min(nxt, nb_buckets))
 
         # binary-counter merge forest: chunk tables enter at their own
         # (power-of-two) capacity and same-sized tables merge pairwise
@@ -419,25 +543,61 @@ def _strip_sweep(
                 t, cap = merge_pair(other, cap, t, cap)
             forest[cap] = t
 
-        for si in range(len(seg_bounds) - 1):
-            b0, b1 = seg_bounds[si], seg_bounds[si + 1]
-            base = int(cum[b0])
-            total_seg = int(cum[b1]) - base
-            E = b1 - b0
-            Epad = _next_pow2(E)
-            starts_h = np.full(Epad + 1, total_seg, np.int32)
-            starts_h[:E + 1] = (cum[b0:b1 + 1] - base).astype(np.int32)
-            cv_h = np.zeros(Epad, np.int32)
-            cv_h[:E] = cvals[b0:b1]
-            bi_h = np.zeros(Epad, np.int32)
-            bi_h[:E] = biter[b0:b1]
-            ac_h = np.zeros(Epad, np.int32)
-            ac_h[:E] = aconst[b0:b1]
-            dv_h = np.zeros(Epad, np.int32)
-            dv_h[:E] = dvv[b0:b1]
-            arrs = (starts_h, cv_h, bi_h, ac_h, dv_h)
-            bufs = tuple(jax.device_put(x, repl) if repl is not None
-                         else jax.device_put(x) for x in arrs)
+        def iter_segments():
+            """(bufs, total_seg) per segment — one device-prepped
+            segment on the devgrid path, host-expanded slices else."""
+            if devgrid:
+                t0 = time.perf_counter()
+                Spad = _next_pow2(total_subs)
+                bufs = _prep_strip_device(
+                    flat_dev,
+                    jnp.asarray(np.ascontiguousarray(
+                        seg_lo, dtype=np.int32)),
+                    jnp.asarray(np.ascontiguousarray(
+                        seg_len, dtype=np.int32)),
+                    jnp.asarray(np.ascontiguousarray(
+                        sizes, dtype=np.int32)),
+                    jnp.int32(total_subs), jnp.int32(total_strip),
+                    min_d=config.min_distance, d_hi=d_hi, T=T, Kp=Kp,
+                    Spad=Spad)
+                if profile:
+                    jax.block_until_ready(bufs)
+                ph["expand"] += time.perf_counter() - t0
+                yield bufs, total_strip
+                return
+            for si in range(len(seg_bounds) - 1):
+                b0, b1 = seg_bounds[si], seg_bounds[si + 1]
+                t0 = time.perf_counter()
+                counts, cvals, biter, aconst, dvs = _expand_subbuckets(
+                    flat_host, cnts_b[b0:b1], ba[b0:b1], bb[b0:b1],
+                    nbv[b0:b1], dvv[b0:b1])
+                ph["expand"] += time.perf_counter() - t0
+                cum = np.concatenate([[0], np.cumsum(counts)])
+                total_seg = int(cum[-1])
+                if total_seg == 0:
+                    continue
+                E = len(counts)
+                Epad = _next_pow2(E)
+                starts_h = np.full(Epad + 1, total_seg, np.int32)
+                starts_h[:E + 1] = cum.astype(np.int32)
+                cv_h = np.zeros(Epad, np.int32)
+                cv_h[:E] = cvals
+                bi_h = np.zeros(Epad, np.int32)
+                bi_h[:E] = biter
+                ac_h = np.zeros(Epad, np.int32)
+                ac_h[:E] = aconst
+                dv_h = np.zeros(Epad, np.int32)
+                dv_h[:E] = dvs
+                arrs = (starts_h, cv_h, bi_h, ac_h, dv_h)
+                t0 = time.perf_counter()
+                bufs = tuple(jax.device_put(x, repl) if repl is not None
+                             else jax.device_put(x) for x in arrs)
+                if profile:
+                    jax.block_until_ready(bufs)
+                ph["upload"] += time.perf_counter() - t0
+                yield bufs, total_seg
+
+        for bufs, total_seg in iter_segments():
             pos = 0
             while pos < total_seg:
                 rem = total_seg - pos
@@ -452,27 +612,51 @@ def _strip_sweep(
                     size = min(max(tail_chunk, _next_pow2(rem)),
                                entry_chunk)
                     size = -(-size // n_dev) * n_dev
+                t0 = time.perf_counter()
                 t, cap = run_chunk(bufs, pos, total_seg, size)
                 insert(t, cap)
+                if profile:
+                    jax.block_until_ready(t)
+                    # a throwaway scalar readback closes the async gap
+                    np.asarray(t[0][:1])
+                ph["chunks"] += time.perf_counter() - t0
                 pos += size
 
         # fold surviving forest levels (ascending) into one table
-        acc, acc_cap, n = None, 0, 0
+        t0 = time.perf_counter()
+        acc, acc_cap = None, 0
         for cap in sorted(forest):
             if acc is None:
                 acc, acc_cap = forest[cap], cap
             else:
                 acc, acc_cap = merge_pair(acc, acc_cap, forest[cap], cap)
+        ph["fold"] = time.perf_counter() - t0
+        # NO distinct-count host sync here in production: the strip
+        # yields with its device table still in flight, so the next
+        # strip's host prep + uploads overlap this strip's compute and
+        # the consumer's readback. Callers needing n sync themselves.
+        if profile and acc is not None:
+            n_dbg = int(jnp.sum((acc[0] != jnp.uint32(_SENT))
+                                .astype(jnp.int32)))
+            logger.info(
+                "distance strip %d/%d [%d, %d): %d pairs / %d buckets "
+                "(%d sub-buckets), %d distinct, %.1fs", s + 1, n_strips,
+                s_lo, s_hi, total_strip, nb_buckets, n_subs_log,
+                n_dbg, time.perf_counter() - t_strip)
+            logger.info(
+                "  strip phases: buckets %.2fs expand %.2fs upload "
+                "%.2fs chunks %.2fs fold %.2fs",
+                ph["buckets"], ph["expand"], ph["upload"],
+                ph["chunks"], ph["fold"])
+        else:
+            logger.info(
+                "distance strip %d/%d [%d, %d): %d pairs / %d buckets "
+                "(%d sub-buckets), %.1fs submit", s + 1, n_strips,
+                s_lo, s_hi, total_strip, nb_buckets, n_subs_log,
+                time.perf_counter() - t_strip)
         if acc is not None:
-            n = int(jnp.sum((acc[0] != jnp.uint32(_SENT))
-                            .astype(jnp.int32)))
-        logger.info(
-            "distance strip %d/%d [%d, %d): %d pairs / %d buckets, "
-            "%d distinct, %.1fs", s + 1, n_strips, s_lo, s_hi,
-            total_strip, len(counts), n, time.perf_counter() - t_strip)
-        if acc is not None and n:
             yielded = True
-            yield acc[0], acc[1], acc[2], n, acc_cap
+            yield acc[0], acc[1], acc[2], None, acc_cap
     if not yielded:
         e = jnp.full(capacity, _SENT, jnp.uint32)
         yield e, e, jnp.zeros(capacity, jnp.int32), 0, capacity
@@ -500,7 +684,7 @@ def build_distance_table(
     tile_b: int = 32,
     entry_chunk: Optional[int] = None,
     element_budget: int = 64 << 20,
-    strip_capacity: int = 1 << 25,
+    strip_capacity: int = 1 << 26,
     mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Full (i, j, d) -> count table over all reads and distances,
@@ -518,6 +702,9 @@ def build_distance_table(
             tile_a=tile_a, tile_b=tile_b,
             entry_chunk=entry_chunk, element_budget=element_budget,
             strip_capacity=strip_capacity, mesh=mesh):
+        if n is None:
+            n = int(jnp.sum((uhi != jnp.uint32(_SENT))
+                            .astype(jnp.int32)))
         if n:
             parts.append((np.asarray(uhi[:n]), np.asarray(ulo[:n]),
                           np.asarray(cnt[:n])))
@@ -670,32 +857,44 @@ def recruit_unique_kmers(
         raise ValueError(
             "rare k-mer table >= 2^24 entries overflows the packed pair key")
     num, den, exact = _rel_fraction(config.rel_threshold)
-    parts = []
-    for uhi, ulo, cnt, n, _cap in _strip_sweep(
-            clouds_tensor, n_units, config,
-            capacity=capacity, entry_chunk=entry_chunk, mesh=mesh):
-        if n == 0:
-            continue
-        # surviving edges never exceed the strip's distinct-key count, so
-        # out_capacity = next_pow2(n) guarantees ONE filter pass (the
-        # doubling loop stays as a safety net only); the output buffer is
-        # cheap (4 int32 planes), only the [:n_keep] slice crosses to host
-        out_cap = max(_next_pow2(max(int(n), 1)), edge_capacity)
-        while True:
+    import concurrent.futures as _cf
+    futures = []
+
+    def materialize(oi, oj, od, oc, n_keep):
+        nk = int(n_keep)          # device scalar sync, on this thread
+        if nk == 0:
+            return None
+        return (np.asarray(oi[:nk]).astype(np.int64),
+                np.asarray(oj[:nk]).astype(np.int64),
+                np.asarray(od[:nk]).astype(np.int64),
+                np.asarray(oc[:nk]).astype(np.int64))
+
+    # edge readback (incl. the n_keep scalar sync) rides the
+    # device->host link on a background thread while the NEXT strip's
+    # host prep + device sweep proceed — the link, not compute, bounds
+    # edge-heavy workloads. Throttled to 2 strips in flight so device
+    # tables don't pile up in HBM.
+    with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+        for uhi, ulo, cnt, n, cap in _strip_sweep(
+                clouds_tensor, n_units, config,
+                capacity=capacity, entry_chunk=entry_chunk, mesh=mesh):
+            if n == 0:
+                continue
+            # surviving edges never exceed the strip table's capacity,
+            # so out_capacity = cap guarantees ONE filter pass with no
+            # host sync; only the [:n_keep] slice crosses to host
+            out_cap = max(cap, edge_capacity)
             oi, oj, od, oc, n_keep = _filter_table_device(
                 uhi, ulo, cnt, jnp.int32(config.min_coverage),
                 jnp.int32(num), jnp.int32(den),
                 jnp.float32(config.rel_threshold),
                 use_frac=exact, out_capacity=out_cap)
-            n_keep = int(n_keep)
-            if n_keep <= out_cap:
-                break
-            out_cap *= 2
-        if n_keep:
-            parts.append((np.asarray(oi[:n_keep]).astype(np.int64),
-                          np.asarray(oj[:n_keep]).astype(np.int64),
-                          np.asarray(od[:n_keep]).astype(np.int64),
-                          np.asarray(oc[:n_keep]).astype(np.int64)))
+            futures.append(ex.submit(
+                materialize, oi, oj, od, oc, n_keep))
+            if len(futures) > 2:
+                futures[-3].result()
+        parts = [p for p in (f.result() for f in futures)
+                 if p is not None]
     if not parts:
         e = np.empty(0, np.int64)
         edges = DistanceEdges(dist=np.empty(0, np.int32), i=e, j=e.copy(),

@@ -16,6 +16,7 @@ stage is a batched device computation with an associative cross-batch merge
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 import jax
@@ -50,12 +51,49 @@ def _stack2(a, b):
     return jnp.stack([a.astype(jnp.int32), b.astype(jnp.int32)], axis=1)
 
 
+_HASH_BITS = 26
+_HASH_MULT = 0x9E3779B1
+
+
+def _occ_hash(hi, lo):
+    return ((hi.astype(jnp.uint32) * jnp.uint32(_HASH_MULT))
+            ^ lo.astype(jnp.uint32)) & jnp.uint32((1 << _HASH_BITS) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+def _occ_accumulate(table, codes, lens, *, k):
+    """Pass A of the occurrence prefilter: scatter-add
+    of every valid window's hashed k-mer into a direct-address count
+    table (collisions merge counts — one-sided: counts only ever
+    OVER-estimate, so thresholding later keeps a superset)."""
+    hi, lo, _ = pack_kmers(codes, lens, k=k)
+    valid = hi != SENTINEL
+    h = jnp.where(valid, _occ_hash(hi, lo), 0).ravel()
+    return table.at[h].add(
+        jnp.where(valid, 1, 0).ravel().astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _occ_mask(table, codes, lens, min_occ, *, k):
+    """Pass B: SENTINEL-mask windows whose hashed occurrence count is
+    below min_occ (they cannot reach the rare band's floor: a k-mer's
+    read count never exceeds its occurrence count, and hash collisions
+    only inflate the estimate). Returns (hi, lo, n_keep)."""
+    hi, lo, _ = pack_kmers(codes, lens, k=k)
+    valid = hi != SENTINEL
+    keep = valid & (table[_occ_hash(hi, lo)] >= min_occ)
+    s = jnp.uint32(SENTINEL)
+    return (jnp.where(keep, hi, s), jnp.where(keep, lo, s),
+            jnp.sum(keep.astype(jnp.int32)))
+
+
 def read_kmer_table(
     seqs: Sequence[str],
     k: int,
     *,
     batch_rows: int = 64,
     capacity: int | None = None,
+    min_occurrences: int = 0,
     mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(codes uint64, n_reads, n_multi) over all sequences: for each distinct
@@ -64,65 +102,126 @@ def read_kmer_table(
     `mesh` (jax.sharding.Mesh), batch rows shard over the data axis and the
     per-shard tables merge with all_gather + fold over ICI
     (parallel/mesh.make_stats_count_step) — results are bit-identical to
-    the single-device path."""
+    the single-device path.
+
+    min_occurrences > 1 enables the OCCURRENCE PREFILTER (single-device
+    path): a first device pass scatter-adds hashed window counts into a
+    direct-address table, and the exact pass then drops windows whose
+    (over-)estimated count is below the threshold. A k-mer's read count
+    never exceeds its occurrence count and collisions only inflate the
+    estimate, so every k-mer that could reach min_occurrences survives —
+    the exact tables then hold ~the genome-side k-mers instead of every
+    read-error artifact (a noisy corpus mints ~k novel k-mers per error,
+    ~45M distinct at the 400-unit / 8%-noise shape; the prefilter is
+    what keeps the rare stage off that blow-up). Dropped k-mers are
+    exactly those with total occurrences < min_occurrences — callers
+    must only use the output where that set is irrelevant (the rare
+    band's floor guarantees it when min_occurrences <= ceil(bottom *
+    coverage * survival))."""
     if not len(seqs):
         return (np.empty(0, np.uint64), np.empty(0, np.int64),
                 np.empty(0, np.int64))
     total_windows = sum(max(0, len(s) - k + 1) for s in seqs)
-    if capacity is None:
-        # distinct k-mers are far fewer than total windows at production
-        # scale (reads resample the same genome); start at a bounded
-        # estimate and let the doubling fallback below correct upward
-        capacity = 1 << max(
-            8, int(np.ceil(np.log2(max(min(total_windows, 1 << 24), 2)))))
+    # distinct k-mers are bounded by total windows (noisy corpora really
+    # do approach the bound: every read error mints ~k novel k-mers), so
+    # the exact-sufficient global capacity is next_pow2(total_windows) —
+    # but per-BATCH tables only need their own window count, and a
+    # binary-counter merge forest keeps total merge cost
+    # O(keys * log batches) instead of O(batches * global_capacity),
+    # with every size a power of two (bounded compile variety, no
+    # doubling recompiles on the hot path)
+    max_capacity = capacity or (1 << max(
+        8, int(np.ceil(np.log2(max(min(total_windows, 1 << 28), 2))))))
 
-    step = None
+    def _pow2(x):
+        return 1 << max(8, int(np.ceil(np.log2(max(int(x), 2)))))
+
+    steps: Dict[int, object] = {}
     n_dev = 1
     if mesh is not None and mesh.devices.size > 1:
-        from centroflye_tpu.parallel.mesh import make_stats_count_step
-        step = make_stats_count_step(mesh, k, capacity)
         n_dev = int(mesh.devices.size)
         batch_rows = -(-batch_rows // n_dev) * n_dev
 
-    acc = None  # (uhi, ulo, counts2, n)
+    def get_step(cap):
+        if cap not in steps:
+            from centroflye_tpu.parallel.mesh import make_stats_count_step
+            steps[cap] = make_stats_count_step(mesh, k, cap)
+        return steps[cap]
+
+    forest: Dict[int, tuple] = {}
+
+    def merge_pair(ta, cap_a, tb, cap_b):
+        nonlocal max_capacity
+        out = min(_pow2(cap_a + cap_b), max_capacity)
+        while True:
+            m = merge_count_tables(ta[0], ta[1], ta[2],
+                                   tb[0], tb[1], tb[2], capacity=out)
+            if out >= cap_a + cap_b or int(m[3]) <= out:
+                return (m[0], m[1], m[2], int(m[3])), out
+            out *= 2
+            if out > max_capacity:
+                max_capacity = out
+
+    def insert(t, cap):
+        while cap in forest:
+            other = forest.pop(cap)
+            t, cap = merge_pair(other, cap, t, cap)
+        forest[cap] = t
+
+    # occurrence prefilter pass A (single-device path): hashed window
+    # counts over the whole corpus, ON DEVICE (donated accumulator)
+    occ_table = None
+    if min_occurrences > 1 and n_dev == 1:
+        occ_table = jnp.zeros((1 << _HASH_BITS,), jnp.int32)
+        for _row0, codes, lens in _iter_batches(seqs, batch_rows, 256):
+            occ_table = _occ_accumulate(occ_table, codes, lens, k=k)
+
     for row0, codes, lens in _iter_batches(seqs, batch_rows, 256):
         rid_rows = (np.arange(codes.shape[0], dtype=np.int32)[:, None]
                     + row0)
+        win_b = int(np.maximum(lens.astype(np.int64) - k + 1, 0).sum())
+        masked = None
+        if occ_table is not None:
+            hi_m, lo_m, n_keep = _occ_mask(
+                occ_table, codes, lens, jnp.int32(min_occurrences), k=k)
+            win_b = int(n_keep)        # survivors bound the distinct count
+            if win_b == 0:
+                continue
+            masked = (hi_m, lo_m)
+        cap_b = min(_pow2(win_b), max_capacity)
         while True:
-            if step is not None:
+            if n_dev > 1:
                 from centroflye_tpu.parallel.mesh import pad_rows
                 codes_p = pad_rows(codes, n_dev, 4)
                 lens_p = pad_rows(lens, n_dev, 0)
                 rid_p = pad_rows(rid_rows, n_dev, 0)
-                uhi, ulo, cnt2, n = step(codes_p, lens_p, rid_p)
+                uhi, ulo, cnt2, n = get_step(cap_b)(codes_p, lens_p, rid_p)
             else:
-                hi, lo, _ = pack_kmers(codes, lens, k=k)
-                rid = np.broadcast_to(rid_rows, hi.shape)
+                if masked is not None:
+                    hi, lo = masked
+                else:
+                    hi, lo, _ = pack_kmers(codes, lens, k=k)
+                rid = np.broadcast_to(rid_rows, tuple(hi.shape))
                 uhi, ulo, n_reads, n_multi, n = count_read_kmer_stats(
-                    hi, lo, np.ascontiguousarray(rid), capacity=capacity)
+                    hi, lo, np.ascontiguousarray(rid), capacity=cap_b)
                 cnt2 = _stack2(n_reads, n_multi)
-            if int(n) <= capacity:
+            if cap_b >= win_b or int(n) <= cap_b:
                 break
-            capacity *= 2
-            if step is not None:
-                from centroflye_tpu.parallel.mesh import (
-                    make_stats_count_step)
-                step = make_stats_count_step(mesh, k, capacity)
-        # the accumulator stays ON DEVICE across the sweep — only the
-        # run-count scalar syncs per merge (materializing capacity-sized
-        # tables per batch moves ~100MB each way through the host link)
-        if acc is None:
-            acc = (uhi, ulo, cnt2, int(n))
-        else:
-            while True:
-                muhi, mulo, mcnt, mn = merge_count_tables(
-                    acc[0], acc[1], acc[2], uhi, ulo, cnt2,
-                    capacity=capacity)
-                if int(mn) <= capacity:
-                    break
-                capacity *= 2
-            acc = (muhi, mulo, mcnt, int(mn))
+            cap_b *= 2
+        # tables stay ON DEVICE across the sweep — only run-count scalars
+        # sync (materializing capacity-sized tables per batch moves
+        # ~100MB each way through the host link)
+        insert((uhi, ulo, cnt2, int(n)), cap_b)
 
+    if not forest:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    acc, acc_cap = None, 0
+    for cap in sorted(forest):
+        if acc is None:
+            acc, acc_cap = forest[cap], cap
+        else:
+            acc, acc_cap = merge_pair(acc, acc_cap, forest[cap], cap)
     uhi, ulo, cnt, n = acc
     codes_u64, counts = table_to_numpy(uhi, ulo, cnt, n)
     return codes_u64, counts[:, 0].astype(np.int64), \
@@ -139,11 +238,18 @@ def get_rare_kmers(
 ) -> np.ndarray:
     """Sorted uint64 codes of rare k-mers (reference
     distance_based_kmer_recruitment.py:66-82 semantics, including the float
-    band [bottom*coverage*survival, top*coverage*survival])."""
-    codes, n_reads, n_multi = read_kmer_table(
-        seqs, config.k, batch_rows=batch_rows, mesh=mesh)
-    survive = n_multi <= config.max_nonuniq
+    band [bottom*coverage*survival, top*coverage*survival]).
+
+    The band floor doubles as the occurrence-prefilter threshold: a
+    k-mer with total occurrences below ceil(floor) can never reach
+    n_reads >= floor, so dropping it early cannot change the rare set
+    (read_kmer_table's min_occurrences contract)."""
     left = config.bottom * coverage * config.kmer_survival_rate
     right = config.top * coverage * config.kmer_survival_rate
+    min_occ = int(np.ceil(left))
+    codes, n_reads, n_multi = read_kmer_table(
+        seqs, config.k, batch_rows=batch_rows,
+        min_occurrences=min_occ, mesh=mesh)
+    survive = n_multi <= config.max_nonuniq
     rare = survive & (n_reads >= left) & (n_reads <= right)
     return codes[rare]
