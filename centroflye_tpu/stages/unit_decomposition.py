@@ -150,6 +150,11 @@ class UnitDecomposer:
         keep = counts == 1
         self._seed_codes = uniq[keep]
         self._seed_upos = (idx[keep] % self.m).astype(np.int64)
+        # boundary-refinement probe: the unit's start, REVERSED — the
+        # HW end of the reversed probe in a reversed window is the
+        # match START (end-location-only alignment, no traceback)
+        Lp = min(256, self.m)
+        self._probe_rev = np.ascontiguousarray(encode(unit[:Lp])[::-1])
 
     def _hits(self, read_codes: np.ndarray):
         """Seed hits of a read (one orientation): (read_pos, unit_offset)."""
@@ -212,6 +217,106 @@ class UnitDecomposer:
             filled.append(s)
         return [s for s in filled if lo <= s < hi]
 
+    def _probe_start(self, canon_codes, s: int) -> Optional[int]:
+        """HW-locate the unit's start probe in a +-m/2 window around s (half a unit:
+        larger errors are ambiguous — the probe matches every unit
+        start) (reversed-probe trick: the HW END of the reversed probe in the
+        reversed window is the match START — end-only alignment, no
+        traceback). None when the native engine is absent or the match
+        is unconvincing (> 0.45 * probe length; random ~ 0.5)."""
+        try:
+            from centroflye_tpu.native import (
+                native_available, native_edit_distance)
+        except ImportError:
+            return None
+        if not native_available():
+            return None
+        m = self.m
+        Lp = len(self._probe_rev)
+        w_lo = max(0, s - m // 2)
+        w_hi = min(len(canon_codes), s + m // 2 + Lp)
+        win = canon_codes[w_lo:w_hi]
+        if len(win) < Lp:
+            return None
+        res = native_edit_distance(self._probe_rev, win[::-1], mode="HW")
+        if res is None:
+            return None
+        d, e = res
+        if d < 0 or d > 0.45 * Lp:
+            return None
+        new = w_lo + (len(win) - 1 - int(e))
+        if abs(new - s) > m // 2:
+            return None
+        return new
+
+    def _polish_bounds(self, bounds, canon_codes):
+        """Myers polish of the phase-voted boundary list (the module
+        docstring's "refine where seed evidence is thin"). Indel drift
+        alone keeps instance spacings within ~1-2% of the unit length
+        even at 12% read error, so deviant spacings mark phase-voting
+        mistakes. Three repairs, iterated: SPLIT spans > 1.5 m (a copy
+        whose seeds were all lost) evenly; MERGE spurious double
+        boundaries (two sub-0.7 m gaps summing to ~one unit); probe-
+        REFINE every boundary adjacent to a gap off by > 4% (HW-locate
+        the unit's start probe). Endpoints stay fixed except a trailing
+        partial < 0.2 m, which is clipped (the reference's partial-unit
+        patching rule, ncrf_parser.py:49-52)."""
+        m = self.m
+        b = [int(x) for x in bounds]
+        if len(b) < 2:
+            return b
+        for _ in range(2):
+            # split long spans
+            out = [b[0]]
+            for x in b[1:]:
+                g = x - out[-1]
+                if g > 1.5 * m:
+                    n = max(2, int(round(g / m)))
+                    base = out[-1]
+                    for j in range(1, n):
+                        out.append(base + int(round(j * g / n)))
+                out.append(x)
+            b = out
+            # merge spurious splits
+            out = [b[0]]
+            i = 1
+            while i < len(b):
+                if i + 1 < len(b):
+                    a = b[i] - out[-1]
+                    c = b[i + 1] - b[i]
+                    if (a < 0.7 * m and c < 0.7 * m
+                            and 0.85 * m <= a + c <= 1.15 * m):
+                        i += 1
+                        continue
+                out.append(b[i])
+                i += 1
+            b = out
+            if len(b) < 3:
+                break
+            gaps = np.diff(np.asarray(b, np.int64))
+            bad = (gaps < 0.96 * m) | (gaps > 1.04 * m)
+            if not bad.any():
+                break
+            flag = np.zeros(len(b), bool)
+            flag[:-1] |= bad
+            flag[1:] |= bad
+            changed = False
+            for i in np.nonzero(flag)[0]:
+                if i == 0 or i == len(b) - 1:
+                    continue           # endpoints are the record extent
+                new = self._probe_start(canon_codes, b[i])
+                if new is not None and b[i - 1] < new < b[i + 1] \
+                        and new != b[i]:
+                    b[i] = new
+                    changed = True
+            b = sorted(set(b))
+            if not changed:
+                break
+        # trailing partial < 0.2 m: clip (reference trail patching)
+        if len(b) > 2 and b[-1] - b[-2] < 0.2 * m:
+            b.pop()
+        return b
+
     def decompose_read(self, r_id: str, seq: str
                        ) -> Tuple[Optional[DecompRecord],
                                   List[Tuple[int, int, str]]]:
@@ -272,11 +377,16 @@ class UnitDecomposer:
                 bounds.append(iv_st)
             bounds.extend(starts)
             bounds.append(iv_en)
-            bounds = np.array(sorted(set(
-                b for b in bounds if iv_st <= b <= iv_en)), dtype=np.int32)
-            bounds = bounds - iv_st
+            bounds = sorted(set(
+                b for b in bounds if iv_st <= b <= iv_en))
             if len(bounds) < 2:
                 continue
+            canon_codes = codes_f if strand == "+" else codes_r
+            bounds = self._polish_bounds(bounds, canon_codes)
+            if len(bounds) < 2:
+                continue
+            iv_en = bounds[-1]          # trailing-partial clip may shrink
+            bounds = np.array(bounds, dtype=np.int32) - iv_st
 
             # intervals in ORIGINAL read coordinates
             if strand == "+":

@@ -16,6 +16,7 @@ Reference behavior:
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections import Counter, defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -154,6 +155,36 @@ def cluster_units(per_read_units: Dict[str, str], bin_size: int = 50,
     return consensi
 
 
+def plot_period_histogram(conv: Counter, filename: str,
+                          period: Optional[Tuple[int, int]] = None) -> bool:
+    """Write the k-mer position-difference ("convolution") histogram as a
+    PDF (the reference's per-read diagnostic plot,
+    unit_extractor.py:148-151). Returns False when matplotlib is absent
+    (headless installs) instead of failing the extraction."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    fig, ax = plt.subplots(figsize=(8, 4))
+    if conv:
+        xs = np.array(sorted(conv))
+        ys = np.array([conv[x] for x in xs])
+        ax.vlines(xs, 0, ys, linewidth=1)
+    if period is not None:
+        ax.axvspan(period[0], period[1], alpha=0.2,
+                   label=f"period bin [{period[0]}, {period[1]})")
+        ax.legend()
+    ax.set_xlabel("k-mer position difference (bp)")
+    ax.set_ylabel("count")
+    ax.set_title("tandem period convolution")
+    fig.tight_layout()
+    fig.savefig(filename)
+    plt.close(fig)
+    return True
+
+
 def main(argv=None):
     import argparse
 
@@ -167,12 +198,22 @@ def main(argv=None):
     parser.add_argument("--bin-size", type=int, default=50)
     parser.add_argument("--cluster", action="store_true",
                         help="also cluster per-read units")
+    parser.add_argument("--plot-dir", help="write per-read period "
+                        "histogram PDFs here (reference "
+                        "unit_extractor.py:148-151)")
     args = parser.parse_args(argv)
 
+    if args.plot_dir:
+        os.makedirs(args.plot_dir, exist_ok=True)
     per_read = {}
     for r_id, seq in iter_seqs(args.reads):
         res = extract_units_from_read(seq, k=args.k,
                                       bin_size=args.bin_size)
+        if args.plot_dir:
+            plot_period_histogram(
+                get_convolution(seq, k=args.k),
+                os.path.join(args.plot_dir, f"{r_id}_period.pdf"),
+                period=res.period_range)
         if res.consensus:
             per_read[r_id] = res.consensus
     write_seqs(args.output, {f"{r}_unit": u for r, u in per_read.items()})

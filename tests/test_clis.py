@@ -93,8 +93,15 @@ def test_unit_extraction_cli(tmp_path, rng):
              for i in range(2)}
     write_seqs(str(tmp_path / "reads.fasta"), reads)
     out = str(tmp_path / "units.fasta")
+    plot_dir = str(tmp_path / "plots")
     main(["--reads", str(tmp_path / "reads.fasta"), "--output", out,
-          "--cluster"])
+          "--cluster", "--plot-dir", plot_dir])
     units = read_seqs(out)
     assert len(units) >= 1
     assert os.path.exists(out + ".clusters.fasta")
+    # period-histogram PDFs (reference unit_extractor.py:148-151); the
+    # plot helper degrades to False only when matplotlib is missing
+    import importlib.util
+    if importlib.util.find_spec("matplotlib") is not None:
+        pdfs = [f for f in os.listdir(plot_dir) if f.endswith(".pdf")]
+        assert len(pdfs) == len(reads)

@@ -143,3 +143,163 @@ def test_get_efficiency(rng):
     assert set(eff) == set(dec.positions_all)
     assert 0.9 <= eff["one"] <= 1.0
     assert 0.9 <= global_eff <= 1.0
+
+
+# --------------------------------------------------------------------------
+# Decomposition robustness at REAL nanopore error rates (8-12%) with the
+# real DXZ1 unit — the testable proxy for genuine-NCRF validation
+# (reference ncrf_parser.py:28-59,120-145; rel2 reads are ~8-15% error).
+
+
+def _dxz1():
+    import os
+    from centroflye_tpu.io import read_seq
+    data = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "centroflye_tpu", "data")
+    return read_seq(os.path.join(data, "DXZ1_rc.fasta"))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("noise", [0.08, 0.12])
+def test_unit_count_and_boundaries_at_ont_noise(noise):
+    """Unit-aligned 8-copy windows of a simulated DXZ1 array: at 8-12%
+    error the decomposer must still recover the right instance count on
+    nearly every read, with boundary drift bounded by the indel noise
+    (cumulative indel std at 16 kb and rate e is ~sqrt(16000*2e/3))."""
+    unit = _dxz1()
+    U = len(unit)
+    rng = np.random.default_rng(int(noise * 1000))
+    sim = simulate_tandem_repeat(rng, unit, mult=24, div_rate=0.002,
+                                 flank_len=2000)
+    g = sim.flanked_tr
+    ts = 2000
+    reads = []
+    for j in range(0, 16):
+        seq = g[ts + j * U:ts + (j + 8) * U]
+        if j % 3 == 1:
+            seq = revcomp_str(seq)
+        reads.append((f"r{j:02d}", add_read_noise(rng, seq, noise)))
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=5000)).decompose(reads)
+    assert len(dec.records) == len(reads)
+    n_ok = 0
+    drift_tol = 4 * np.sqrt(8 * U * 2 * noise / 3) + 0.1 * U
+    for r_id, rec in dec.records.items():
+        if rec.n_units == 8:
+            n_ok += 1
+            # expected boundaries at multiples of ~U (scaled by the
+            # record's realized length — indels shrink/stretch globally)
+            scale = (rec.r_en - rec.r_st) / (8 * U)
+            exp = np.arange(9) * U * scale
+            assert np.abs(rec.bounds - exp).max() < drift_tol, r_id
+    assert n_ok >= int(0.85 * len(reads)), f"{n_ok}/{len(reads)}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("noise", [0.08, 0.12])
+def test_classify_stability_at_ont_noise(noise):
+    """classify() must keep prefix/internal/suffix assignments at real
+    error rates (reference ncrf_parser.py:120-145)."""
+    unit = _dxz1()
+    U = len(unit)
+    rng = np.random.default_rng(7 + int(noise * 100))
+    sim = simulate_tandem_repeat(rng, unit, mult=20, div_rate=0.002,
+                                 flank_len=9000)
+    g = sim.flanked_tr
+    ts, te = 9000, 9000 + len(sim.tr)
+    reads = [
+        ("pre0", g[ts - 7000:ts + 5 * U]),
+        ("pre1", revcomp_str(g[ts - 6500:ts + 5 * U])),
+        ("int0", g[ts + 2 * U:ts + 10 * U]),
+        ("int1", revcomp_str(g[ts + 5 * U:ts + 13 * U])),
+        ("suf0", g[te - 5 * U:te + 7000]),
+        ("suf1", revcomp_str(g[te - 5 * U:te + 6500])),
+    ]
+    reads = [(r, add_read_noise(rng, s, noise)) for r, s in reads]
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=5000)).decompose(reads)
+    assert set(dec.records) == {r for r, _ in reads}
+    pre, internal, suf = dec.classify(large_threshold=5000,
+                                      small_threshold=1000)
+    assert sorted(pre) == ["pre0", "pre1"]
+    assert sorted(internal) == ["int0", "int1"]
+    assert sorted(suf) == ["suf0", "suf1"]
+
+
+@pytest.mark.slow
+def test_placement_agreement_decomposer_vs_pinned_report():
+    """Downstream agreement at 8% noise: placements computed from the
+    in-repo decomposition must equal placements computed from the same
+    decomposition exported as an NCRF-like report and re-parsed through
+    the NCRF-compat path (the pipeline's --ncrf parity entry). This is
+    the round-trip robustness check the missing genuine-NCRF data would
+    otherwise provide."""
+    import os
+    from centroflye_tpu.config import KmerRecruitmentConfig, PlacerConfig
+    from centroflye_tpu.stages.ncrf_compat import (
+        write_ncrf_like_report, parse_ncrf_report)
+    from centroflye_tpu.stages.rare_kmers import get_rare_kmers
+    from centroflye_tpu.stages.kmer_cloud import (
+        build_read_clouds, filter_read_clouds, pad_clouds)
+    from centroflye_tpu.stages.distance_graph import recruit_unique_kmers
+    from centroflye_tpu.stages.read_placer import ReadPlacer
+
+    unit = _dxz1()
+    U = len(unit)
+    # 6% error keeps correlated error k-mers (same deletion, same unit
+    # offset, different reads) mostly out of the rare band at this small
+    # array scale — at 8%+ they flood every cloud and the sweep at CPU
+    # test speed takes tens of minutes (production-scale coverage
+    # excludes them via the band top instead; decomposer robustness at
+    # 8-12% is covered by the boundary/classify tests above)
+    noise = 0.06
+    rng = np.random.default_rng(23)
+    sim = simulate_tandem_repeat(rng, unit, mult=20, div_rate=0.003,
+                                 flank_len=7000)
+    g = sim.flanked_tr
+    ts, te = 7000, 7000 + len(sim.tr)
+    reads = [(f"pre{j}", g[ts - 6000 - 300 * j:ts + 6 * U])
+             for j in range(2)]
+    # coverage ~16 (window 8 units, step half a unit): at 8% noise the
+    # rare band floor bottom*cov*survival must clear ~3 or correlated
+    # noise k-mers (two reads deleting the same base) flood the rare
+    # set — the same reason the reference runs at coverage 32
+    start, i = ts, 0
+    while start + 8 * U < te:
+        seq = g[start:start + 8 * U]
+        if i % 3 == 1:
+            seq = revcomp_str(seq)
+        reads.append((f"int{i:02d}", seq))
+        start += U // 2
+        i += 1
+    reads += [(f"suf{j}", g[te - 6 * U:te + 6000 - 300 * j])
+              for j in range(2)]
+    reads = [(r, add_read_noise(rng, s, noise)) for r, s in reads]
+
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=5000)).decompose(reads)
+    report_fn = "/tmp/decomp_roundtrip_report.ncrf"
+    write_ncrf_like_report(dec, unit, report_fn)
+    dec2 = parse_ncrf_report(report_fn, min_record_len=5000)
+    assert set(dec2.records) == set(dec.records)
+
+    kcfg = KmerRecruitmentConfig(
+        k=19, min_distance=1, max_distance=150, min_coverage=4,
+        bottom=0.9, top=3.0, kmer_survival_rate=(1 - noise) ** 19)
+    pcfg = PlacerConfig(prefix_threshold=4000)
+    placements = {}
+    for tag, d in (("direct", dec), ("roundtrip", dec2)):
+        records = {r: d.records[r] for r in sorted(d.records)}
+        seqs = [rec.seq for rec in records.values()]
+        rare = get_rare_kmers(seqs, kcfg, 16)
+        clouds = build_read_clouds(records, rare, kcfg.k)
+        _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
+        uniq, _ = recruit_unique_kmers(tensor, n_units, rare, kcfg)
+        clouds_u = filter_read_clouds(
+            build_read_clouds(records, uniq, kcfg.k), min_mult=2)
+        placements[tag] = ReadPlacer(pcfg).run(d, clouds_u)
+    assert placements["direct"] == placements["roundtrip"]
+    placed = sum(1 for p in placements["direct"].values()
+                 if p is not None)
+    assert placed >= 0.8 * len(reads)
+    os.remove(report_fn)
