@@ -32,34 +32,95 @@ from centroflye_tpu.ops.kmers import (
 
 def count_kmers_total(seqs: Sequence[str], k: int, *,
                       batch_rows: int = 64,
-                      capacity: Optional[int] = None):
+                      capacity: Optional[int] = None,
+                      min_occurrences: int = 0):
     """Total k-mer occurrence counts across sequences (device).
-    Returns (codes uint64 sorted, counts int64)."""
+    Returns (codes uint64 sorted, counts int64).
+
+    Tables stay ON DEVICE across the sweep (binary-counter merge forest,
+    per-batch-sized tables — the earlier per-batch host materialization
+    moved ~200 MB per batch through the link at noisy production scale).
+    min_occurrences > 1 drops k-mers whose hashed occurrence estimate is
+    below the threshold (exact for every k-mer at or above it; collisions
+    only over-count — see rare_kmers.read_kmer_table)."""
     if not seqs:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     total = sum(max(0, len(s) - k + 1) for s in seqs)
-    if capacity is None:
-        capacity = 1 << max(8, int(np.ceil(np.log2(max(total, 2)))))
-    acc = None
-    for i in range(0, len(seqs), batch_rows):
-        chunk = seqs[i:i + batch_rows]
-        L = max(len(s) for s in chunk)
-        L = max(256, -(-L // 256) * 256)
-        codes, lens = encode_batch(chunk, max_len=L)
-        hi, lo, _ = pack_kmers(codes, lens, k=k)
-        uhi, ulo, cnt, n = count_unique(hi.ravel(), lo.ravel(),
-                                        capacity=capacity)
-        assert int(n) <= capacity
-        if acc is None:
-            acc = (np.asarray(uhi), np.asarray(ulo),
-                   np.asarray(cnt), int(n))
+    max_capacity = capacity or (1 << max(
+        8, int(np.ceil(np.log2(max(min(total, 1 << 28), 2))))))
+
+    def _pow2(x):
+        return 1 << max(8, int(np.ceil(np.log2(max(int(x), 2)))))
+
+    def batches():
+        # one GLOBAL padded width -> one compile for the whole sweep
+        Lg = max((len(s) for s in seqs), default=1)
+        Lg = max(256, -(-Lg // 256) * 256)
+        for i in range(0, len(seqs), batch_rows):
+            chunk = list(seqs[i:i + batch_rows])
+            if len(chunk) < batch_rows and len(seqs) > batch_rows:
+                chunk += [""] * (batch_rows - len(chunk))
+            yield encode_batch(chunk, max_len=Lg)
+
+    occ_table = None
+    if min_occurrences > 1:
+        from centroflye_tpu.stages.rare_kmers import (
+            _occ_accumulate, _occ_mask, _HASH_BITS)
+        import jax.numpy as jnp
+        occ_table = jnp.zeros((1 << _HASH_BITS,), jnp.int32)
+        for codes, lens in batches():
+            occ_table = _occ_accumulate(occ_table, codes, lens, k=k)
+
+    forest: Dict[int, tuple] = {}
+
+    def merge_pair(ta, cap_a, tb, cap_b):
+        nonlocal max_capacity
+        out = min(_pow2(cap_a + cap_b), max_capacity)
+        while True:
+            m = merge_count_tables(ta[0], ta[1], ta[2],
+                                   tb[0], tb[1], tb[2], capacity=out)
+            if out >= cap_a + cap_b or int(m[3]) <= out:
+                return (m[0], m[1], m[2], int(m[3])), out
+            out *= 2
+            if out > max_capacity:
+                max_capacity = out
+
+    def insert(t, cap):
+        while cap in forest:
+            other = forest.pop(cap)
+            t, cap = merge_pair(other, cap, t, cap)
+        forest[cap] = t
+
+    for codes, lens in batches():
+        win_b = int(np.maximum(
+            lens.astype(np.int64) - k + 1, 0).sum())
+        if occ_table is not None:
+            import jax.numpy as jnp
+            from centroflye_tpu.stages.rare_kmers import _occ_mask
+            hi, lo, n_keep = _occ_mask(
+                occ_table, codes, lens, jnp.int32(min_occurrences), k=k)
+            win_b = int(n_keep)
+            if win_b == 0:
+                continue
         else:
-            muhi, mulo, mcnt, mn = merge_count_tables(
-                acc[0], acc[1], acc[2], uhi, ulo, np.asarray(cnt),
-                capacity=capacity)
-            assert int(mn) <= capacity
-            acc = (np.asarray(muhi), np.asarray(mulo), np.asarray(mcnt),
-                   int(mn))
+            hi, lo, _ = pack_kmers(codes, lens, k=k)
+        cap_b = min(_pow2(win_b), max_capacity)
+        while True:
+            uhi, ulo, cnt, n = count_unique(hi.ravel(), lo.ravel(),
+                                            capacity=cap_b)
+            if cap_b >= win_b or int(n) <= cap_b:
+                break
+            cap_b *= 2
+        insert((uhi, ulo, cnt, int(n)), cap_b)
+
+    if not forest:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    acc, acc_cap = None, 0
+    for cap in sorted(forest):
+        if acc is None:
+            acc, acc_cap = forest[cap], cap
+        else:
+            acc, acc_cap = merge_pair(acc, acc_cap, forest[cap], cap)
     codes_u64, counts = table_to_numpy(*acc)
     return codes_u64, counts.astype(np.int64)
 
@@ -230,13 +291,40 @@ def reconstruct_unit(
     (reference better_consensus_unit_reconstruction.py:156-190)."""
     config = config or ConsensusUnitConfig()
     k = config.k
-    codes, counts = count_kmers_total(seqs, k, batch_rows=batch_rows)
-    strs = kmer_strings(codes, k)
-
     doubled = unit_seq + unit_seq
     unit_kmers = {doubled[i:i + k] for i in range(len(unit_seq))}
     n_top = int(len(unit_kmers) * config.top_factor)
-    order = sorted(zip(counts.tolist(), strs), reverse=True)[:n_top]
+
+    # occurrence prefilter: the top 3|unit| k-mers at assembly coverage
+    # have counts in the hundreds, while read errors mint tens of
+    # millions of low-count k-mers; drop estimates < 8 up front and fall
+    # back to exact-full counting if the survivors can't fill the top
+    # set (superset-safe — see count_kmers_total)
+    for min_occ in (8, 0):
+        codes, counts = count_kmers_total(
+            seqs, k, batch_rows=batch_rows, min_occurrences=min_occ)
+        if len(codes) >= n_top or min_occ == 0:
+            break
+
+    # top-n selection in numpy (a Python sort of tens of millions of
+    # k-mer strings costs minutes); ties at the threshold break by
+    # k-mer string DESCENDING — the reference's sorted(..., reverse=True)
+    # on (count, kmer) tuples (better_consensus_unit_reconstruction.py)
+    if len(codes) > n_top:
+        thr = int(np.partition(counts, -n_top)[-n_top])
+        above = np.nonzero(counts > thr)[0]
+        need = n_top - len(above)
+        tie_idx = np.nonzero(counts == thr)[0]
+        if need > 0 and len(tie_idx):
+            tie_strs = np.asarray(kmer_strings(codes[tie_idx], k))
+            sel_t = tie_idx[np.argsort(tie_strs)[::-1][:need]]
+            sel = np.concatenate([above, sel_t])
+        else:
+            sel = above
+    else:
+        sel = np.arange(len(codes))
+    strs = kmer_strings(codes[sel], k)
+    order = sorted(zip(counts[sel].tolist(), strs), reverse=True)[:n_top]
     top = [(s, c) for c, s in order]
 
     g = _MultiGraph()

@@ -98,16 +98,19 @@ def parse_ncrf_report(report_fn: str,
                 return 0
             return al_pos - int(gaps[al_pos - 1])
 
-        bounds = [0]
-        for (st, en) in al_bounds:
-            b = to_read_coord(en)
-            if b > bounds[-1]:
-                bounds.append(b)
-        if bounds[-1] < len(seq):
-            if len(bounds) > 1:
-                bounds[-1] = len(seq)
-            else:
-                bounds.append(len(seq))
+        # The reference's unit list keeps EXACTLY the regex-matched
+        # segments (ncrf_parser.py:47-59): a truncated first/last unit
+        # shorter than 0.2*|motif| is DISCARDED, not merged into its
+        # neighbor — so bounds may start past 0 / end before len(seq),
+        # and k-mers in the dropped margin belong to NO cloud.
+        if al_bounds:
+            bounds = [to_read_coord(al_bounds[0][0])]
+            for (st, en) in al_bounds:
+                b = to_read_coord(en)
+                if b > bounds[-1]:
+                    bounds.append(b)
+        else:
+            bounds = [0]
         records[r_id] = DecompRecord(
             r_id=r_id, r_len=r_len, strand=strand,
             r_st=r_st, r_en=r_en, seq=seq,

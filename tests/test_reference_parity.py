@@ -433,3 +433,151 @@ def test_rr_binary_recruited_set_matches(rr_binary, tmp_path):
         assert ours == rr_set, (prefilter, ours ^ rr_set)
     assert any(k.startswith("cen") for k in rr_set)
     assert not any(k.startswith("bg") for k in rr_set)
+
+
+# --------------------------------------------------------------------------
+# LARGE noisy parity world: 100+ reads with a mixed length distribution
+# over a 60-unit DXZ1 array — a tie-break-rich regime (many equal greedy
+# scores) that exercises FastPlacer's (score, position, -r_id)
+# tie-breaking at scale against the reference's own read_placer.py.
+
+
+@pytest.fixture(scope="module")
+def noisy_world_large(tmp_path_factory):
+    from centroflye_tpu.io import read_seq
+    from centroflye_tpu.pipeline.simulate import add_read_noise
+
+    data = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "centroflye_tpu", "data")
+    unit = read_seq(os.path.join(data, "DXZ1_rc.fasta"))
+    rng = np.random.default_rng(211)
+    sim = simulate_tandem_repeat(rng, unit, mult=48, div_rate=0.002,
+                                 flank_len=6000)
+    g = sim.flanked_tr
+    ts, te = 6000, 6000 + len(sim.tr)
+    U = len(unit)
+    reads = []
+    for pi, left in enumerate([5500, 5000, 4500]):
+        reads.append((f"pre{pi}", g[ts - left:ts + 6 * U]))
+    # noise levels and the coverage param (32 below) are tuned so the
+    # rare band floor (bottom*cov*survival ~ 9.8, the reference's real
+    # production numbers) sits ABOVE the recurrence frequency of
+    # correlated error k-mers (the same deletion at the same unit
+    # offset across reads — at a small array scale these land in the
+    # band and inflate every cloud ~4x, which is not the production
+    # regime and makes the reference oracle script crawl)
+    lengths = [5, 8, 12]
+    noises = [0.005, 0.01, 0.02]
+    i = 0
+    start = ts
+    while True:
+        L = lengths[i % 3] * U
+        if start + L >= te:
+            break
+        seq = g[start:start + L]
+        if i % 3 == 1:
+            seq = revcomp_str(seq)
+        reads.append((f"int{i:03d}", seq))
+        start += U // 3
+        i += 1
+    for si, right in enumerate([5500, 5000]):
+        reads.append((f"suf{si}", g[te - 6 * U:te + right]))
+    reads = [(r, add_read_noise(rng, s, noises[j % 3]))
+             for j, (r, s) in enumerate(reads)]
+    assert len(reads) > 100
+
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=5000)).decompose(reads)
+    assert len(dec.records) >= 100
+
+    outdir = str(tmp_path_factory.mktemp("noisy_parity_large"))
+    report_fn = os.path.join(outdir, "report.ncrf")
+    write_ncrf_like_report(dec, unit, report_fn)
+    # BOTH sides consume the identical pinned report (the reference's
+    # own contract: NCRF is an external tool whose report is the stage
+    # input). Re-deriving our records from the raw decomposition instead
+    # would differ by the boundary-insertion CONVENTION: the reference's
+    # motif regex assigns inter-unit inserted bases to the LEFT unit
+    # instance, while geometric phase-voted bounds may put them on the
+    # right — a +-3 bp bookkeeping difference that shifts one k-mer
+    # between adjacent clouds (measured: 105/115 reads at this scale).
+    from centroflye_tpu.stages.ncrf_compat import parse_ncrf_report
+    dec_pinned = parse_ncrf_report(report_fn, min_record_len=5000)
+    assert len(dec_pinned.records) >= 100
+    return dict(unit=unit, dec=dec_pinned, report_fn=report_fn)
+
+
+@pytest.mark.slow
+def test_reference_parity_large_noisy(noisy_world_large, tmp_path):
+    """100+-read tie-break-rich world: unique k-mers AND placements must
+    match the reference's scripts bit-for-bit."""
+    dec = noisy_world_large["dec"]
+    K19 = 19
+    COV = 32
+    kcfg = KmerRecruitmentConfig(
+        k=K19, min_distance=1, max_distance=150, min_coverage=4,
+        bottom=0.9, top=3.0, kmer_survival_rate=0.34, max_nonuniq=3)
+    records = {r: dec.records[r] for r in sorted(dec.records)}
+    seqs = [rec.seq for rec in records.values()]
+    rare = get_rare_kmers(seqs, kcfg, COV)
+    assert len(rare) > 500
+    clouds = build_read_clouds(records, rare, K19)
+    _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
+    uniq, edges = recruit_unique_kmers(tensor, n_units, rare, kcfg)
+    uniq_strs = sorted(kmer_strings(uniq, K19))
+    assert len(uniq_strs) > 100
+
+    refout = str(tmp_path / "ref_kmers")
+    cmd = [sys.executable,
+           os.path.join(REF, "distance_based_kmer_recruitment.py"),
+           "--ncrf", noisy_world_large["report_fn"],
+           "--coverage", str(COV),
+           "--min-coverage", "4",
+           "--outdir", refout,
+           "-k", str(K19),
+           "--min-distance", "1",
+           "--max-distance", "150",
+           "--bottom", "0.9",
+           "--top", "3.0",
+           "--kmer-survival-rate", "0.34",
+           "--max-nonuniq", "3"]
+    res = subprocess.run(cmd, env=ref_env(), capture_output=True, text=True,
+                         timeout=2400)
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(os.path.join(refout,
+                           "unique_kmers_min_edge_cov_4.txt")) as f:
+        ref_kmers = sorted(line.strip() for line in f if line.strip())
+    assert ref_kmers == uniq_strs
+
+    pcfg = PlacerConfig(
+        min_cloud_kmer_freq=2, min_kmer_mult=2, min_unit=2, min_inters=10,
+        min_prop=3, prefix_threshold=4000, small_threshold=1000)
+    clouds_u = build_read_clouds(records, uniq, K19)
+    clouds_u = filter_read_clouds(clouds_u, min_mult=2)
+    placer = ReadPlacer(pcfg)
+    placements = placer.run(dec, clouds_u)
+    assert sum(1 for p in placements.values() if p is not None) > 60
+
+    kmers_fn = str(tmp_path / "unique_kmers.txt")
+    with open(kmers_fn, "w") as f:
+        for s in uniq_strs:
+            print(s, file=f)
+    refout2 = str(tmp_path / "ref_placer")
+    cmd = [sys.executable, os.path.join(REF, "read_placer.py"),
+           "--ncrf", noisy_world_large["report_fn"],
+           "--genomic-kmers", kmers_fn,
+           "--k-cloud", str(K19),
+           "--min-cloud-kmer-freq", "2",
+           "--min-kmer-mult", "2",
+           "--min-unit", "2",
+           "--min-inters", "10",
+           "--prefix-threshold", "4000",
+           "--outdir", refout2]
+    res = subprocess.run(cmd, env=ref_env(), capture_output=True, text=True,
+                         timeout=2400)
+    assert res.returncode == 0, res.stderr[-2000:]
+    ref_pos = read_positions_file(
+        os.path.join(refout2, "read_positions.csv"))
+    assert set(ref_pos) == set(placements)
+    for r_id in ref_pos:
+        assert ref_pos[r_id] == placements[r_id], r_id
