@@ -1,0 +1,202 @@
+"""North-star demo: the cenX pipeline at the REFERENCE'S production shape.
+
+The reference's proven envelope is rel2: a ~1,500-unit / ~3.1 Mbp DXZ1
+array at coverage 32, reads ~14 kb mean with an ultra-long tail, ~8-15%
+ONT error, assembled in ~9 h / 800 GB RAM on a 50-thread server
+(reference README.md:72-75,121-124; centroFlye.py:40-134 defaults).
+This script simulates that shape and runs CenXPipeline end-to-end with
+the reference defaults (k=19, d<=150, min_coverage=4, bottom 0.9 /
+top 3.0), reporting per-stage wall-clock, peak RSS, and the final
+assembly divergence vs the simulated ground truth.
+
+NOISE MODEL NOTE (measured, 400-unit run at uniform 8%): the
+distance-graph algorithm needs edge counts >= min_coverage=4, and an
+edge's count is (reads spanning both copies) x (joint survival of two
+k=19-mers) = ~31 x (1-e)^38. At UNIFORM e=8% that is ~31 x 0.042 = 1.3
+< 4 — no edges survive (we measured 204 unique k-mers, 3 placed reads),
+and the reference's own scripts would fail identically on such input.
+The reference's default kmer-survival-rate 0.34 (centroFlye.py:52)
+corresponds to (1-e)^19 = 0.34, i.e. ~5.5% EFFECTIVE uniform error —
+real ONT error is higher nominally but clustered (homopolymers), so
+5.5% uniform is the rel2-equivalent regime. The default here matches
+it; pass a third argument to explore other noise levels.
+
+Run: python benchmarks/demo_cenx_production.py [n_units] [coverage] [noise]
+Defaults 1500 32 0.055 (the production shape at rel2-equivalent error).
+Smaller shapes, e.g. `200 16 0.055`, are useful for smoke runs.
+"""
+
+import json
+import logging
+import os
+import resource
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from centroflye_tpu.config import (
+    CentroFlyeConfig, RecruitmentConfig, UnitDecompositionConfig,
+    KmerRecruitmentConfig, PlacerConfig, ConsensusUnitConfig,
+    PolisherConfig,
+)
+from centroflye_tpu.io import write_seqs, read_seq
+from centroflye_tpu.io.encoding import revcomp_str
+from centroflye_tpu.ops.align_path import align_path
+from centroflye_tpu.pipeline import simulate as sim_mod
+from centroflye_tpu.pipeline.cenx import CenXPipeline
+
+
+def rel2_length_mix(rng, n):
+    """rel2-like read lengths: ~85% 'regular' long reads (~13 kb mean)
+    plus an ultra-long component (~45 kb mean, tail past 100 kb) — the
+    rel2 release is 155 Gbp / 11.1 M reads (mean ~14 kb) and is
+    specifically the ultra-long nanopore set."""
+    ul = rng.random(n) < 0.15
+    lens = np.where(
+        ul,
+        rng.lognormal(np.log(40_000), 0.5, n),
+        rng.lognormal(np.log(11_000), 0.6, n))
+    return np.clip(lens, 3_000, 120_000).astype(np.int64)
+
+
+def sample_divergence(assembly, truth, rng, chunk=10_000, n_chunks=32,
+                      window=30_000):
+    """Divergence estimate: HW-align truth chunks sampled at even
+    fractions into a +-window slice of the assembly at the same
+    fraction (the two are collinear when assembly is correct, so a
+    bounded window suffices; full 3 Mb x 3 Mb alignment is pointless).
+    Returns (total_dist, total_aligned, per-chunk list)."""
+    n_t, n_a = len(truth), len(assembly)
+    if n_a == 0:
+        return 0, 0, []
+    tot_d = tot_b = 0
+    per = []
+    fracs = np.linspace(0.0, 1.0 - chunk / n_t, n_chunks)
+    for f in fracs:
+        ts = int(f * n_t)
+        piece = truth[ts:ts + chunk]
+        ac = int(f * n_a)
+        lo, hi = max(0, ac - window), min(n_a, ac + chunk + window)
+        al = align_path(piece, assembly[lo:hi], mode="HW")
+        tot_d += al.dist
+        tot_b += len(piece)
+        per.append(round(al.dist / max(len(piece), 1), 5))
+    return tot_d, tot_b, per
+
+
+def main():
+    n_units = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 32.0
+    noise = float(sys.argv[3]) if len(sys.argv) > 3 else 0.055
+    div_rate = 0.003          # intra-array HOR divergence (~real DXZ1)
+    flank = 200_000           # the reference simulator's default
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s")
+    t_all = time.time()
+    unit = read_seq(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "centroflye_tpu", "data", "DXZ1_rc.fasta"))
+    rng = np.random.default_rng(7)
+    print(f"simulating {n_units}-unit array, coverage {coverage}, "
+          f"noise {noise:.0%}...", flush=True)
+    sim = sim_mod.simulate_tandem_repeat(rng, unit, n_units, div_rate,
+                                         flank_len=flank)
+    g = sim.flanked_tr
+    ts, te = flank, flank + len(sim.tr)
+
+    # reads: uniform starts over the flanked genome, rel2-like lengths,
+    # random strand, `noise` uniform sub/ins/del error
+    n_reads = int(coverage * len(g) / 16_500)   # mix mean ~16.5 kb
+    lens = rel2_length_mix(rng, n_reads)
+    starts = rng.integers(0, len(g), size=n_reads)
+    reads = {}
+    cen_bases = 0
+    for i in range(n_reads):
+        s, L = int(starts[i]), int(lens[i])
+        seq = g[s:s + L]
+        if len(seq) < 3000:
+            continue
+        ov = max(0, min(s + L, te) - max(s, ts))
+        cen_bases += ov
+        if rng.random() < 0.5:
+            seq = revcomp_str(seq)
+        reads[f"sim{i:05d}"] = seq
+    # guaranteed ultra-long boundary reads (rel2's 50x UL depth makes
+    # these certain; a finite sample at coverage 32 may miss them)
+    for j, left in enumerate([60_000, 55_000, 52_000]):
+        reads[f"pre{j}"] = g[ts - left:ts + 8 * len(unit)]
+    for j, right in enumerate([60_000, 55_000, 52_000]):
+        reads[f"suf{j}"] = g[te - 8 * len(unit):te + right]
+    # background-only reads (recruitment reject path)
+    for b in range(300):
+        reads[f"bg{b:03d}"] = sim_mod.gen_random_seq(rng, 12_000)
+    print(f"{len(reads)} reads, tandem {len(sim.tr):,} bp, realized "
+          f"tandem coverage {cen_bases / len(sim.tr):.1f}x", flush=True)
+    reads = {r: sim_mod.add_read_noise(rng, s, noise)
+             for r, s in reads.items()}
+    realized_cov = cen_bases / len(sim.tr)
+
+    tag = f"{n_units}u_c{int(coverage)}_n{int(noise * 100)}"
+    simdir, rundir = f"/tmp/cenx_prod_sim_{tag}", f"/tmp/cenx_prod_run_{tag}"
+    shutil.rmtree(rundir, ignore_errors=True)
+    os.makedirs(simdir, exist_ok=True)
+    write_seqs(os.path.join(simdir, "reads.fasta"), reads)
+    t_sim = time.time() - t_all
+
+    survival = (1.0 - noise) ** 19
+    cfg = CentroFlyeConfig(
+        coverage=int(round(realized_cov)),
+        recruitment=RecruitmentConfig(threshold=350),
+        decomposition=UnitDecompositionConfig(min_record_len=5000),
+        kmer_recruitment=KmerRecruitmentConfig(
+            k=19, min_distance=1, max_distance=150, min_coverage=4,
+            bottom=0.9, top=3.0, kmer_survival_rate=survival),
+        placer=PlacerConfig(),                      # reference defaults
+        consensus_unit=ConsensusUnitConfig(k=30),
+        polisher=PolisherConfig(num_iters=4))
+    pipe = CenXPipeline(unit, cfg, rundir)
+    final = pipe.run(os.path.join(simdir, "reads.fasta"))
+    wall = time.time() - t_all
+
+    d, b, per_chunk = sample_divergence(final, sim.tr, rng)
+    peak_rss_gb = resource.getrusage(
+        resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
+    div = d / max(b, 1)
+    summary = {
+        "shape": {"n_units": n_units, "tandem_bp": len(sim.tr),
+                  "coverage": round(realized_cov, 1), "noise": noise,
+                  "n_reads": len(reads),
+                  "read_bp": sum(len(s) for s in reads.values())},
+        "assembly_bp": len(final),
+        "truth_bp": len(sim.tr),
+        "length_error": round(abs(len(final) - len(sim.tr))
+                              / len(sim.tr), 5),
+        "sampled_divergence": round(div, 5),
+        "divergence_chunks": per_chunk,
+        "wall_s": round(wall, 1),
+        "sim_s": round(t_sim, 1),
+        "peak_rss_gb": round(peak_rss_gb, 2),
+        "stages": {k: {"wall_s": round(v.wall_s, 1), "items": v.items}
+                   for k, v in pipe.metrics.stages.items()},
+        "reference_envelope": "9 h wall / 800 GB RAM, 50 threads "
+                              "(README.md:72-75,121-124)",
+    }
+    print(json.dumps(summary, indent=2), flush=True)
+    out_fn = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"production_{tag}.json")
+    with open(out_fn, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"assembly {len(final):,} bp vs truth {len(sim.tr):,} bp; "
+          f"sampled divergence {div:.4%}; wall {wall:.0f}s; "
+          f"peak RSS {peak_rss_gb:.1f} GB -> {out_fn}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,8 @@
+"""SMALL-SCALE smoke demo: a 50-unit array at coverage 7, d<=10, 1%
+read noise — roughly 1/30 of the real DXZ1 array at 1/5 the coverage.
+Useful as a fast end-to-end sanity run. The PRODUCTION-shape demo
+(1,500 units, coverage 32, d<=150, 8% ONT-like noise, rel2 length mix)
+is benchmarks/demo_cenx_production.py."""
 import os, shutil, sys, time
 import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -46,9 +46,26 @@ def _enable_compilation_cache() -> None:
         # possible SIGILL on mismatch)
         plat = _os.environ.get("JAX_PLATFORMS", "auto").replace(",", "-") \
             or "auto"
+        # ... and by host CPU fingerprint: CPU AOT entries embed the
+        # compiling machine's feature set, and a shared/migrated home
+        # directory would otherwise replay another machine's executables
+        # here (observed: avx512/amx entries loaded on a host without
+        # them, with the loader warning of possible SIGILL)
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        cpu = hashlib.sha256(
+                            line.encode()).hexdigest()[:12]
+                        break
+                else:
+                    cpu = "nocpuflags"
+        except OSError:
+            cpu = "nocpuinfo"
         path = spec or _os.path.join(
             _os.path.expanduser("~"), ".cache", "centroflye_tpu",
-            f"jax_cache_{plat}")
+            f"jax_cache_{plat}_{cpu}")
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything, including sub-second compiles: pipeline runs
