@@ -127,12 +127,23 @@ def main():
         if rng.random() < 0.5:
             seq = revcomp_str(seq)
         reads[f"sim{i:05d}"] = seq
-    # guaranteed ultra-long boundary reads (rel2's 50x UL depth makes
-    # these certain; a finite sample at coverage 32 may miss them)
-    for j, left in enumerate([60_000, 55_000, 52_000]):
-        reads[f"pre{j}"] = g[ts - left:ts + 8 * len(unit)]
-    for j, right in enumerate([60_000, 55_000, 52_000]):
-        reads[f"suf{j}"] = g[te - 8 * len(unit):te + right]
+    # ultra-long boundary reads at rel2-like depth: the rel2 release is
+    # specifically a 50x ULTRA-LONG set, so ~25-50 reads span each
+    # array boundary with >50 kb of flank (the reference's
+    # prefix-threshold, centroFlye.py:32) — the greedy placer IGNITES
+    # from these seeds (a k-mer turns "frequent" only once 2 seed reads
+    # retain it at the same position; 3 seeds at (1-e)^19 k-mer
+    # survival leave the contig too sparse for min_inters=10, measured:
+    # placement stalls at 3/1487 reads with 3 guaranteed seeds)
+    n_bnd = 24
+    for j in range(n_bnd):
+        left = int(rng.integers(52_000, 90_000))
+        into = int(rng.integers(4, 10)) * len(unit)
+        reads[f"pre{j:02d}"] = g[ts - left:ts + into]
+    for j in range(n_bnd):
+        right = int(rng.integers(52_000, 90_000))
+        into = int(rng.integers(4, 10)) * len(unit)
+        reads[f"suf{j:02d}"] = g[te - into:te + right]
     # background-only reads (recruitment reject path)
     for b in range(300):
         reads[f"bg{b:03d}"] = sim_mod.gen_random_seq(rng, 12_000)

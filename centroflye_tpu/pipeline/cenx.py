@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -131,12 +132,20 @@ class CenXPipeline:
         records = {r: dec.records[r] for r in sorted(dec.records)}
         seqs = [rec.seq for rec in records.values()]
         with self.metrics.stage("unique_kmers", "kmers") as m:
+            t0 = time.perf_counter()
             rare = get_rare_kmers(seqs, kcfg, self.config.coverage,
                                   mesh=self.mesh)
+            t1 = time.perf_counter()
             clouds = build_read_clouds(records, rare, kcfg.k)
             _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
+            t2 = time.perf_counter()
+            logger.info(
+                "unique_kmers phases: rare %.1fs (%d kmers), clouds %.1fs",
+                t1 - t0, len(rare), t2 - t1)
             uniq_codes, edges = recruit_unique_kmers(
                 tensor, n_units, rare, kcfg, mesh=self.mesh)
+            logger.info("unique_kmers phases: sweep+filter %.1fs",
+                        time.perf_counter() - t2)
             m.items = len(uniq_codes)
 
         # artifact parity: sorted kmer strings, one per line (reference

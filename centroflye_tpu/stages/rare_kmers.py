@@ -17,11 +17,15 @@ stage is a batched device computation with an associative cross-batch merge
 from __future__ import annotations
 
 import functools
+import logging
+import time
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("centroflye_tpu")
 
 from centroflye_tpu.config import KmerRecruitmentConfig
 from centroflye_tpu.io.encoding import encode_batch, join_u64
@@ -170,11 +174,14 @@ def read_kmer_table(
 
     # occurrence prefilter pass A (single-device path): hashed window
     # counts over the whole corpus, ON DEVICE (donated accumulator)
+    t_start = time.perf_counter()
     occ_table = None
     if min_occurrences > 1 and n_dev == 1:
         occ_table = jnp.zeros((1 << _HASH_BITS,), jnp.int32)
         for _row0, codes, lens in _iter_batches(seqs, batch_rows, 256):
             occ_table = _occ_accumulate(occ_table, codes, lens, k=k)
+        occ_table.block_until_ready()
+    t_occ = time.perf_counter()
 
     for row0, codes, lens in _iter_batches(seqs, batch_rows, 256):
         rid_rows = (np.arange(codes.shape[0], dtype=np.int32)[:, None]
@@ -216,6 +223,7 @@ def read_kmer_table(
     if not forest:
         return (np.empty(0, np.uint64), np.empty(0, np.int64),
                 np.empty(0, np.int64))
+    t_count = time.perf_counter()
     acc, acc_cap = None, 0
     for cap in sorted(forest):
         if acc is None:
@@ -224,6 +232,11 @@ def read_kmer_table(
             acc, acc_cap = merge_pair(acc, acc_cap, forest[cap], cap)
     uhi, ulo, cnt, n = acc
     codes_u64, counts = table_to_numpy(uhi, ulo, cnt, n)
+    logger.info(
+        "read_kmer_table phases: occ-prefilter %.1fs, count+merge %.1fs, "
+        "fold+readback %.1fs (%d distinct)",
+        t_occ - t_start, t_count - t_occ, time.perf_counter() - t_count,
+        len(codes_u64))
     return codes_u64, counts[:, 0].astype(np.int64), \
         counts[:, 1].astype(np.int64)
 
