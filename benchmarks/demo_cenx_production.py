@@ -155,7 +155,11 @@ def main():
 
     tag = f"{n_units}u_c{int(coverage)}_n{int(noise * 100)}"
     simdir, rundir = f"/tmp/cenx_prod_sim_{tag}", f"/tmp/cenx_prod_run_{tag}"
-    shutil.rmtree(rundir, ignore_errors=True)
+    # the pipeline's skip-if-exists resume lets an interrupted run pick
+    # up at the first missing artifact (the simulation is seeded, so
+    # re-simulated reads are identical); CENTROFLYE_DEMO_FRESH=1 wipes
+    if os.environ.get("CENTROFLYE_DEMO_FRESH") == "1":
+        shutil.rmtree(rundir, ignore_errors=True)
     os.makedirs(simdir, exist_ok=True)
     write_seqs(os.path.join(simdir, "reads.fasta"), reads)
     t_sim = time.time() - t_all

@@ -129,6 +129,8 @@ class CenXPipeline:
                      if line.strip()], dtype=np.uint64))
         os.makedirs(outdir, exist_ok=True)
 
+        from centroflye_tpu.utils.logging_utils import logger
+
         records = {r: dec.records[r] for r in sorted(dec.records)}
         seqs = [rec.seq for rec in records.values()]
         with self.metrics.stage("unique_kmers", "kmers") as m:
@@ -143,7 +145,8 @@ class CenXPipeline:
                 "unique_kmers phases: rare %.1fs (%d kmers), clouds %.1fs",
                 t1 - t0, len(rare), t2 - t1)
             uniq_codes, edges = recruit_unique_kmers(
-                tensor, n_units, rare, kcfg, mesh=self.mesh)
+                tensor, n_units, rare, kcfg, mesh=self.mesh,
+                dedup_hint=max(1, int(self.config.coverage) // 4))
             logger.info("unique_kmers phases: sweep+filter %.1fs",
                         time.perf_counter() - t2)
             m.items = len(uniq_codes)

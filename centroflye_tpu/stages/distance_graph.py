@@ -304,6 +304,7 @@ def _strip_sweep(
     element_budget: int = 32 << 20,
     strip_capacity: int = 1 << 26,
     subbucket_budget: int = 8 << 20,
+    dedup_hint: int = 1,
     mesh=None,
 ):
     """Yield one sorted (i, j, d) -> count device table per i-range strip,
@@ -354,7 +355,16 @@ def _strip_sweep(
     if capacity is None:
         capacity = 1 << max(
             16, int(np.ceil(np.log2(max(min(bound, strip_capacity), 2)))))
-    n_strips = max(1, -(-bound // max(capacity, 1)))
+    # strip sizing: the pair-obs bound assumes every observation mints a
+    # distinct (i, j, d) key, but at coverage c each key is observed by
+    # ~c/2 read pairs — sizing strips by the raw bound pays the fixed
+    # per-strip cost (device prep, fold, filter, edge readback dispatch)
+    # c/2 times too often at production coverage. dedup_hint divides the
+    # bound for STRIP COUNT only; per-table capacity is unchanged and
+    # the check-and-double fallback remains correct if a skewed strip
+    # overflows anyway (the no-overflow sync skip disarms itself:
+    # total_strip > capacity there by construction).
+    n_strips = max(1, -(-bound // max(capacity * max(dedup_hint, 1), 1)))
     strip_w = max(1, -(-(max_idx + 1) // n_strips))
     n_strips = max(1, -(-(max_idx + 1) // strip_w))
 
@@ -410,6 +420,12 @@ def _strip_sweep(
         seg_his = sizes[:, :, None]
 
     sharded_steps = {}
+    # per-strip proof that capacity-saturated tables cannot overflow:
+    # distinct keys <= the strip's pair-observation bound, so when that
+    # bound fits the capacity, every check-and-double host sync (one
+    # device round trip each — ~40 ms dispatch on tunneled harnesses,
+    # and a pipeline stall anywhere) is provably dead and skipped
+    strip_no_ovf = [False]
 
     def run_chunk(bufs, c0, total, chunk):
         """One pair-range chunk -> (table, cap). The chunk table covers
@@ -434,7 +450,7 @@ def _strip_sweep(
                 uhi, ulo, cnt, n = _pairs_from_buckets(
                     flat_dev, *bufs, jnp.int32(c0), jnp.int32(total),
                     chunk=chunk, capacity=cap)
-            if cap >= chunk or int(n) <= cap:
+            if cap >= chunk or strip_no_ovf[0] or int(n) <= cap:
                 return (uhi, ulo, cnt), cap
             cap *= 2
             if cap > capacity:
@@ -469,6 +485,7 @@ def _strip_sweep(
             total_subs += int(np.minimum(a, b).sum())
         if total_strip == 0:
             continue
+        strip_no_ovf[0] = total_strip <= capacity
         # device-grid path: the bucket grid and sub-bucket expansion
         # are derived ON DEVICE from the (R, T) strip segments — the
         # per-strip upload drops from 5x|sub-buckets| arrays to two
@@ -531,7 +548,8 @@ def _strip_sweep(
             while True:
                 m = merge_count_tables(ta[0], ta[1], ta[2],
                                        tb[0], tb[1], tb[2], capacity=out)
-                if out >= cap_a + cap_b or int(m[3]) <= out:
+                if out >= cap_a + cap_b or strip_no_ovf[0] \
+                        or int(m[3]) <= out:
                     return (m[0], m[1], m[2]), out
                 out *= 2
                 if out > capacity:
@@ -772,8 +790,12 @@ def _filter_table_device(uhi, ulo, cnt, min_cov, num, den, rel,
     strip-local and exact. When rel_threshold equals a small exact
     fraction num/den (e.g. the default 0.8 = 4/5), the ratio test is the
     integer cross-multiplication count*den >= all_occ*num — no float
-    rounding at the boundary. Returns compacted (i, j, d, freq) edge
-    arrays + the surviving-edge count."""
+    rounding at the boundary. Returns compacted PACKED edge arrays
+    ((i << 8) | d, j, freq) + the surviving-edge count — i and d share
+    one word (i < 2^24 and d < 2^8 are already invariants of the pair
+    key) so an edge costs 12 bytes of device->host readback instead of
+    16; on link-bound harnesses the edge readback is the largest e2e
+    term of the sweep."""
     valid = uhi != SENTINEL
     j = ulo >> jnp.uint32(8)
     gstart = jnp.concatenate([
@@ -808,25 +830,39 @@ def _filter_table_device(uhi, ulo, cnt, min_cov, num, den, rel,
     # compaction: one stable payload sort moves kept rows (already in
     # (i, j, d) order) to the front — no argsort-permutation gathers
     front = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
-    s_front, s_i, s_j, s_d, s_c = jax.lax.sort(
-        (front, uhi, j, ulo & jnp.uint32(0xFF), cnt),
-        num_keys=1, is_stable=True)
+    packed = (uhi << jnp.uint32(8)) | (ulo & jnp.uint32(0xFF))
+    s_front, s_id, s_j, s_c = jax.lax.sort(
+        (front, packed, j, cnt), num_keys=1, is_stable=True)
     L = uhi.shape[0]
     if L < out_capacity:
         pad = out_capacity - L
-        s_i = jnp.concatenate([s_i, jnp.full(pad, jnp.uint32(_SENT))])
+        s_id = jnp.concatenate([s_id, jnp.full(pad, jnp.uint32(_SENT))])
         s_j = jnp.concatenate([s_j, jnp.full(pad, jnp.uint32(_SENT))])
-        s_d = jnp.concatenate([s_d, jnp.zeros(pad, jnp.uint32)])
         s_c = jnp.concatenate([s_c, jnp.zeros(pad, cnt.dtype)])
     else:
-        s_i, s_j, s_d, s_c = (s_i[:out_capacity], s_j[:out_capacity],
-                              s_d[:out_capacity], s_c[:out_capacity])
+        s_id, s_j, s_c = (s_id[:out_capacity], s_j[:out_capacity],
+                          s_c[:out_capacity])
     is_e = jnp.arange(out_capacity, dtype=jnp.int32) < n_keep
-    out_i = jnp.where(is_e, s_i, jnp.uint32(_SENT))
+    out_id = jnp.where(is_e, s_id, jnp.uint32(_SENT))
     out_j = jnp.where(is_e, s_j, jnp.uint32(_SENT))
-    out_d = jnp.where(is_e, s_d, jnp.uint32(0))
     out_c = jnp.where(is_e, s_c, 0)
-    return out_i, out_j, out_d, out_c, n_keep
+    return out_id, out_j, out_c, n_keep
+
+
+@jax.jit
+def _mark_endpoints(seen, out_id, out_j, n_keep):
+    """OR surviving-edge endpoint k-mer indices into a per-index uint8
+    flag array ON DEVICE. This makes the unique-k-mer set (the only
+    product the assembly consumes downstream — the edge list itself is
+    an artifact, reference distance_based_kmer_recruitment.py:158-171)
+    independent of edge materialization: the readback for the k-mer set
+    is len(rare) bytes once per run instead of 12 bytes per edge."""
+    is_e = jnp.arange(out_id.shape[0], dtype=jnp.int32) < n_keep
+    i_idx = jnp.where(is_e, out_id >> jnp.uint32(8), jnp.uint32(_SENT))
+    j_idx = jnp.where(is_e, out_j, jnp.uint32(_SENT))
+    seen = seen.at[i_idx].max(jnp.uint8(1), mode="drop")
+    seen = seen.at[j_idx].max(jnp.uint8(1), mode="drop")
+    return seen
 
 
 def _rel_fraction(rel: float):
@@ -846,27 +882,35 @@ def recruit_unique_kmers(
     capacity: Optional[int] = None,
     entry_chunk: Optional[int] = None,
     edge_capacity: int = 1 << 18,
+    dedup_hint: int = 1,
     mesh=None,
+    return_edges: bool = True,
 ) -> Tuple[np.ndarray, DistanceEdges]:
     """End-to-end: strip-swept distance table -> per-strip ON-DEVICE
     filter -> unique k-mer codes (sorted uint64) + surviving edges.
     The (i, j, d) count table is never materialized to the host — only
     the surviving edges cross the link (a few MB at production scale vs
-    GBs for the table)."""
+    GBs for the table), packed to 12 bytes each. The unique-k-mer SET
+    itself rides a separate on-device endpoint flag array (len(rare)
+    bytes total readback), so `return_edges=False` skips the edge
+    readback entirely for callers that only consume the k-mer set (the
+    assembly path — the edge list is an artifact file, nothing more)."""
     if len(rare_codes) >= 1 << 24:
         raise ValueError(
             "rare k-mer table >= 2^24 entries overflows the packed pair key")
     num, den, exact = _rel_fraction(config.rel_threshold)
     import concurrent.futures as _cf
     futures = []
+    seen = jnp.zeros(max(len(rare_codes), 1), jnp.uint8)
 
-    def materialize(oi, oj, od, oc, n_keep):
+    def materialize(oid, oj, oc, n_keep):
         nk = int(n_keep)          # device scalar sync, on this thread
         if nk == 0:
             return None
-        return (np.asarray(oi[:nk]).astype(np.int64),
+        oid_h = np.asarray(oid[:nk]).astype(np.int64)
+        return (oid_h >> 8,
                 np.asarray(oj[:nk]).astype(np.int64),
-                np.asarray(od[:nk]).astype(np.int64),
+                oid_h & 0xFF,
                 np.asarray(oc[:nk]).astype(np.int64))
 
     # edge readback (incl. the n_keep scalar sync) rides the
@@ -877,34 +921,37 @@ def recruit_unique_kmers(
     with _cf.ThreadPoolExecutor(max_workers=1) as ex:
         for uhi, ulo, cnt, n, cap in _strip_sweep(
                 clouds_tensor, n_units, config,
-                capacity=capacity, entry_chunk=entry_chunk, mesh=mesh):
+                capacity=capacity, entry_chunk=entry_chunk,
+                dedup_hint=dedup_hint, mesh=mesh):
             if n == 0:
                 continue
             # surviving edges never exceed the strip table's capacity,
             # so out_capacity = cap guarantees ONE filter pass with no
             # host sync; only the [:n_keep] slice crosses to host
             out_cap = max(cap, edge_capacity)
-            oi, oj, od, oc, n_keep = _filter_table_device(
+            oid, oj, oc, n_keep = _filter_table_device(
                 uhi, ulo, cnt, jnp.int32(config.min_coverage),
                 jnp.int32(num), jnp.int32(den),
                 jnp.float32(config.rel_threshold),
                 use_frac=exact, out_capacity=out_cap)
-            futures.append(ex.submit(
-                materialize, oi, oj, od, oc, n_keep))
-            if len(futures) > 2:
-                futures[-3].result()
+            seen = _mark_endpoints(seen, oid, oj, n_keep)
+            if return_edges:
+                futures.append(ex.submit(
+                    materialize, oid, oj, oc, n_keep))
+                if len(futures) > 2:
+                    futures[-3].result()
         parts = [p for p in (f.result() for f in futures)
                  if p is not None]
+    uniq = np.flatnonzero(np.asarray(seen)).astype(np.int64)
     if not parts:
         e = np.empty(0, np.int64)
         edges = DistanceEdges(dist=np.empty(0, np.int32), i=e, j=e.copy(),
-                              freq=e.copy(), unique_kmer_indices=e.copy())
+                              freq=e.copy(), unique_kmer_indices=uniq)
         return rare_codes[edges.unique_kmer_indices], edges
     sel_i = np.concatenate([p[0] for p in parts])
     sel_j = np.concatenate([p[1] for p in parts])
     sel_d = np.concatenate([p[2] for p in parts])
     sel_c = np.concatenate([p[3] for p in parts])
-    uniq = np.unique(np.concatenate([sel_i, sel_j]))
     edges = DistanceEdges(dist=sel_d.astype(np.int32), i=sel_i, j=sel_j,
                           freq=sel_c, unique_kmer_indices=uniq)
     unique_codes = rare_codes[edges.unique_kmer_indices]

@@ -317,6 +317,28 @@ def test_multi_strip_sweep_and_device_filter(rng):
     assert np.array_equal(uniq, np.sort(np.array(list(want_kmers),
                                                  dtype=np.uint64)))
 
+    # dedup_hint shrinks the STRIP COUNT only — results are identical
+    # (skewed strips may overflow their capacity; the check-and-double
+    # fallback must absorb that exactly)
+    uniq_h, edges_h = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg, capacity=cap, entry_chunk=64,
+        dedup_hint=8)
+    assert np.array_equal(uniq_h, uniq)
+    got_h = {(int(a), int(b), int(d)): int(f)
+             for a, b, d, f in zip(edges_h.i, edges_h.j, edges_h.dist,
+                                   edges_h.freq)}
+    assert got_h == want_kept
+
+    # return_edges=False must still deliver the exact unique-k-mer set
+    # (device endpoint flags), with the edge arrays empty
+    uniq_ne, edges_ne = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg, capacity=cap, entry_chunk=64,
+        return_edges=False)
+    assert np.array_equal(uniq_ne, uniq)
+    assert np.array_equal(edges_ne.unique_kmer_indices,
+                          edges.unique_kmer_indices)
+    assert edges_ne.i.size == 0 and edges_ne.freq.size == 0
+
 
 def test_distance_table_uncanonical_rows(rng):
     """Cloud rows that arrive unsorted and with -1 holes in the middle
