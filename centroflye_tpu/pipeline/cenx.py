@@ -144,9 +144,17 @@ class CenXPipeline:
             logger.info(
                 "unique_kmers phases: rare %.1fs (%d kmers), clouds %.1fs",
                 t1 - t0, len(rare), t2 - t1)
+            # a (i, j, d) key repeats once per read spanning both unit
+            # copies with BOTH k-mers surviving that read's errors:
+            # ~coverage/2 spanning reads x survival^2 joint retention —
+            # the strip-count divisor that keeps per-strip tables near
+            # capacity without overflowing them (overflow splits strips,
+            # costing retried device work)
+            surv = float(kcfg.kmer_survival_rate)
             uniq_codes, edges = recruit_unique_kmers(
                 tensor, n_units, rare, kcfg, mesh=self.mesh,
-                dedup_hint=max(1, int(self.config.coverage) // 4))
+                dedup_hint=max(1, int(
+                    int(self.config.coverage) / 2 * surv * surv)))
             logger.info("unique_kmers phases: sweep+filter %.1fs",
                         time.perf_counter() - t2)
             m.items = len(uniq_codes)

@@ -73,6 +73,13 @@ _SENT = 0xFFFFFFFF
 logger = logging.getLogger("centroflye_tpu")
 
 
+class _StripOverflow(Exception):
+    """A strip's distinct-key count exceeded max_capacity: the sweep
+    splits the strip's i-range in half and retries (bounded device
+    memory is a hard invariant — unbounded check-and-double once grew a
+    table to 2^29 and OOM'd 16 GB of HBM at production shape)."""
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(int(x), 1)))))
 
@@ -305,6 +312,7 @@ def _strip_sweep(
     strip_capacity: int = 1 << 26,
     subbucket_budget: int = 8 << 20,
     dedup_hint: int = 1,
+    max_capacity: int = 1 << 27,
     mesh=None,
 ):
     """Yield one sorted (i, j, d) -> count device table per i-range strip,
@@ -355,6 +363,7 @@ def _strip_sweep(
     if capacity is None:
         capacity = 1 << max(
             16, int(np.ceil(np.log2(max(min(bound, strip_capacity), 2)))))
+    max_capacity = max(max_capacity, capacity)
     # strip sizing: the pair-obs bound assumes every observation mints a
     # distinct (i, j, d) key, but at coverage c each key is observed by
     # ~c/2 read pairs — sizing strips by the raw bound pays the fixed
@@ -401,23 +410,24 @@ def _strip_sweep(
     sizes = np.where(live, sizes, 0)
     d_hi = min(config.max_distance, T - 1)
 
-    # per-strip contiguous segments of each sorted row: element counts
-    # below each strip boundary (vectorized value-threshold count; rows
-    # are sorted ascending with -1 padding at the back... -1 sorts as
-    # "invalid", counted via the >= 0 mask)
-    if n_strips > 1:
-        bounds = np.arange(1, n_strips, dtype=np.int64) * strip_w
-        vals = clouds_tensor.astype(np.int64)
-        vmask = vals >= 0
-        below = np.stack(
-            [((vals < v) & vmask).sum(axis=2) for v in bounds],
-            axis=2)                               # (R, T, S-1)
-        zeros = np.zeros_like(sizes)[:, :, None]
-        seg_los = np.concatenate([zeros, below], axis=2)      # (R, T, S)
-        seg_his = np.concatenate([below, sizes[:, :, None]], axis=2)
-    else:
-        seg_los = np.zeros_like(sizes)[:, :, None]
-        seg_his = sizes[:, :, None]
+    # per-strip contiguous segments of each sorted row, computed ON
+    # DEMAND per strip boundary (element counts below a value threshold;
+    # rows are sorted ascending with -1 padding behind, counted via the
+    # >= 0 mask) — strips are now a WORKLIST of [lo, hi) value ranges so
+    # an overflowing strip can split in half and retry, and boundaries
+    # are arbitrary, not a precomputed uniform grid
+    vmask = clouds_tensor >= 0
+    zeros_rt = np.zeros_like(sizes)
+    below_cache: Dict[int, np.ndarray] = {}
+
+    def below_count(v: int) -> np.ndarray:
+        if v <= 0:
+            return zeros_rt
+        if v > max_idx:
+            return sizes
+        if v not in below_cache:
+            below_cache[v] = ((clouds_tensor < v) & vmask).sum(axis=2)
+        return below_cache[v]
 
     sharded_steps = {}
     # per-strip proof that capacity-saturated tables cannot overflow:
@@ -453,6 +463,8 @@ def _strip_sweep(
             if cap >= chunk or strip_no_ovf[0] or int(n) <= cap:
                 return (uhi, ulo, cnt), cap
             cap *= 2
+            if cap > max_capacity:
+                raise _StripOverflow
             if cap > capacity:
                 capacity = cap
 
@@ -464,14 +476,20 @@ def _strip_sweep(
     # dispatch) — benchmarking aid, off in production
     profile = os.environ.get("CENTROFLYE_DIST_PROFILE") == "1"
     yielded = False
-    for s in range(n_strips):
+    # LIFO worklist of [lo, hi) i-value ranges, seeded with the uniform
+    # grid and popped in ascending order (splits push their halves back
+    # in order) — yields stay globally sorted by i
+    work = [(s * strip_w,
+             (s + 1) * strip_w if n_strips > 1 else max(max_idx + 1, 1))
+            for s in range(n_strips)][::-1]
+    while work:
+        s_lo, s_hi = work.pop()
         ph = {"buckets": 0.0, "expand": 0.0, "upload": 0.0,
               "chunks": 0.0, "fold": 0.0}
         t_strip = time.perf_counter()
-        s_lo = s * strip_w
-        s_hi = (s + 1) * strip_w if n_strips > 1 else max(max_idx + 1, 1)
-        seg_lo = seg_los[:, :, s]
-        seg_len = seg_his[:, :, s] - seg_lo
+        lo_c = below_count(s_lo)
+        seg_lo = lo_c
+        seg_len = below_count(s_hi) - lo_c
         # cheap reductions first: strip pair/sub-bucket totals without
         # materializing the bucket grid on host
         total_strip = 0
@@ -552,6 +570,8 @@ def _strip_sweep(
                         or int(m[3]) <= out:
                     return (m[0], m[1], m[2]), out
                 out *= 2
+                if out > max_capacity:
+                    raise _StripOverflow
                 if out > capacity:
                     capacity = out
 
@@ -615,40 +635,57 @@ def _strip_sweep(
                 ph["upload"] += time.perf_counter() - t0
                 yield bufs, total_seg
 
-        for bufs, total_seg in iter_segments():
-            pos = 0
-            while pos < total_seg:
-                rem = total_seg - pos
-                if rem >= entry_chunk:
-                    size = entry_chunk
-                else:
-                    # pow2-stair tail: ONE chunk rounded up to the next
-                    # power of two (floored at tail_chunk) instead of a
-                    # stream of fixed small tails — at most 2x masked
-                    # slack, bounded shape variety (each pow2 compiles
-                    # once, reused across strips and runs)
-                    size = min(max(tail_chunk, _next_pow2(rem)),
-                               entry_chunk)
-                    size = -(-size // n_dev) * n_dev
-                t0 = time.perf_counter()
-                t, cap = run_chunk(bufs, pos, total_seg, size)
-                insert(t, cap)
-                if profile:
-                    jax.block_until_ready(t)
-                    # a throwaway scalar readback closes the async gap
-                    np.asarray(t[0][:1])
-                ph["chunks"] += time.perf_counter() - t0
-                pos += size
+        try:
+            for bufs, total_seg in iter_segments():
+                pos = 0
+                while pos < total_seg:
+                    rem = total_seg - pos
+                    if rem >= entry_chunk:
+                        size = entry_chunk
+                    else:
+                        # pow2-stair tail: ONE chunk rounded up to the
+                        # next power of two (floored at tail_chunk)
+                        # instead of a stream of fixed small tails — at
+                        # most 2x masked slack, bounded shape variety
+                        # (each pow2 compiles once, reused across strips
+                        # and runs)
+                        size = min(max(tail_chunk, _next_pow2(rem)),
+                                   entry_chunk)
+                        size = -(-size // n_dev) * n_dev
+                    t0 = time.perf_counter()
+                    t, cap = run_chunk(bufs, pos, total_seg, size)
+                    insert(t, cap)
+                    if profile:
+                        jax.block_until_ready(t)
+                        # throwaway scalar readback closes the async gap
+                        np.asarray(t[0][:1])
+                    ph["chunks"] += time.perf_counter() - t0
+                    pos += size
 
-        # fold surviving forest levels (ascending) into one table
-        t0 = time.perf_counter()
-        acc, acc_cap = None, 0
-        for cap in sorted(forest):
-            if acc is None:
-                acc, acc_cap = forest[cap], cap
-            else:
-                acc, acc_cap = merge_pair(acc, acc_cap, forest[cap], cap)
-        ph["fold"] = time.perf_counter() - t0
+            # fold surviving forest levels (ascending) into one table
+            t0 = time.perf_counter()
+            acc, acc_cap = None, 0
+            for cap in sorted(forest):
+                if acc is None:
+                    acc, acc_cap = forest[cap], cap
+                else:
+                    acc, acc_cap = merge_pair(acc, acc_cap,
+                                              forest[cap], cap)
+            ph["fold"] = time.perf_counter() - t0
+        except _StripOverflow:
+            mid = (s_lo + s_hi) // 2
+            if mid <= s_lo:
+                raise ValueError(
+                    f"distance strip [{s_lo}, {s_hi}) cannot split "
+                    f"further yet exceeds max_capacity {max_capacity} "
+                    "distinct keys — raise max_capacity")
+            logger.info(
+                "distance strip [%d, %d) overflowed max capacity %d — "
+                "splitting at %d and retrying", s_lo, s_hi,
+                max_capacity, mid)
+            work.append((mid, s_hi))
+            work.append((s_lo, mid))
+            continue
         # NO distinct-count host sync here in production: the strip
         # yields with its device table still in flight, so the next
         # strip's host prep + uploads overlap this strip's compute and
@@ -657,8 +694,8 @@ def _strip_sweep(
             n_dbg = int(jnp.sum((acc[0] != jnp.uint32(_SENT))
                                 .astype(jnp.int32)))
             logger.info(
-                "distance strip %d/%d [%d, %d): %d pairs / %d buckets "
-                "(%d sub-buckets), %d distinct, %.1fs", s + 1, n_strips,
+                "distance strip [%d, %d): %d pairs / %d buckets "
+                "(%d sub-buckets), %d distinct, %.1fs",
                 s_lo, s_hi, total_strip, nb_buckets, n_subs_log,
                 n_dbg, time.perf_counter() - t_strip)
             logger.info(
@@ -668,8 +705,8 @@ def _strip_sweep(
                 ph["chunks"], ph["fold"])
         else:
             logger.info(
-                "distance strip %d/%d [%d, %d): %d pairs / %d buckets "
-                "(%d sub-buckets), %.1fs submit", s + 1, n_strips,
+                "distance strip [%d, %d): %d pairs / %d buckets "
+                "(%d sub-buckets), %.1fs submit",
                 s_lo, s_hi, total_strip, nb_buckets, n_subs_log,
                 time.perf_counter() - t_strip)
         if acc is not None:
@@ -883,6 +920,7 @@ def recruit_unique_kmers(
     entry_chunk: Optional[int] = None,
     edge_capacity: int = 1 << 18,
     dedup_hint: int = 1,
+    max_capacity: int = 1 << 27,
     mesh=None,
     return_edges: bool = True,
 ) -> Tuple[np.ndarray, DistanceEdges]:
@@ -922,7 +960,8 @@ def recruit_unique_kmers(
         for uhi, ulo, cnt, n, cap in _strip_sweep(
                 clouds_tensor, n_units, config,
                 capacity=capacity, entry_chunk=entry_chunk,
-                dedup_hint=dedup_hint, mesh=mesh):
+                dedup_hint=dedup_hint, max_capacity=max_capacity,
+                mesh=mesh):
             if n == 0:
                 continue
             # surviving edges never exceed the strip table's capacity,

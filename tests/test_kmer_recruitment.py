@@ -339,6 +339,19 @@ def test_multi_strip_sweep_and_device_filter(rng):
                           edges.unique_kmer_indices)
     assert edges_ne.i.size == 0 and edges_ne.freq.size == 0
 
+    # overflow-split path: max_capacity at the strip capacity with an
+    # oversized dedup_hint forces strips whose distinct-key count
+    # exceeds the cap — the sweep must split them and retry, never
+    # growing a device table past max_capacity, with identical results
+    uniq_s, edges_s = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg, capacity=cap, entry_chunk=64,
+        dedup_hint=1 << 12, max_capacity=cap)
+    assert np.array_equal(uniq_s, uniq)
+    got_s = {(int(a), int(b), int(d)): int(f)
+             for a, b, d, f in zip(edges_s.i, edges_s.j, edges_s.dist,
+                                   edges_s.freq)}
+    assert got_s == want_kept
+
 
 def test_distance_table_uncanonical_rows(rng):
     """Cloud rows that arrive unsorted and with -1 holes in the middle
