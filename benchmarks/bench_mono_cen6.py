@@ -77,12 +77,21 @@ def build_symbol_genome(rng, n_hor, variant_every=24):
 
 
 def read_length_mix(rng, n):
-    """rel3-like ultra-long mix in monomers (~14 kb mean / 171 bp)."""
-    ul = rng.random(n) < 0.15
+    """rel3-like ULTRA-LONG mix in monomers (~171 bp each): rel3 is the
+    120x ultra-long flowcell set (reference README.md:154) — recruited
+    cen6 reads run ~50 kb mean with a tail past 250 kb. Length matters
+    STRUCTURALLY here, not just for coverage: scaffolding connects
+    unique edges through reads mapped on the FINAL k=400 graph
+    (centroFlyeMono.py:78-83), and a read maps only if it is longer
+    than k monomers (~68 kb) — with a short-read mix the connection
+    graph starves at ~1 valid path per 4,000 reads (measured) and
+    scaffolds cannot join, on the reference's algorithm as much as
+    ours. ~30% of this mix exceeds 400 monomers."""
+    ul = rng.random(n) < 0.3
     lens = np.where(ul,
-                    rng.lognormal(np.log(230), 0.45, n),
-                    rng.lognormal(np.log(70), 0.5, n))
-    return np.clip(lens, 30, 700).astype(np.int64)
+                    rng.lognormal(np.log(700), 0.5, n),
+                    rng.lognormal(np.log(280), 0.55, n))
+    return np.clip(lens, 30, 2000).astype(np.int64)
 
 
 def simulate_monoreads(rng, genome_syms, coverage, gap_rate=0.02):
@@ -90,7 +99,7 @@ def simulate_monoreads(rng, genome_syms, coverage, gap_rate=0.02):
     unreliable calls are gap symbols; '-' strand reads are flipped
     (sd_parser canonicalizes them back on read)."""
     L = len(genome_syms)
-    mean_len = 100.0
+    mean_len = 430.0              # the UL mix's realized mean
     n_reads = int(coverage * L / mean_len)
     lens = read_length_mix(rng, n_reads)
     starts = rng.integers(-50, L - 20, size=n_reads)
@@ -199,12 +208,24 @@ def part_b_assembly(rng, n_hor, coverage):
                                min_connections=cfg.min_connections)
     t_scaf = time.time() - t0
 
-    # accuracy: best scaffold must be a (near-)exact run of the genome
+    # accuracy: every scaffold must be an exact run of the genome; the
+    # reference joins its (two, for real cen6) scaffolds MANUALLY
+    # (centroFlyeMono.py:84-87 "# TODO"), so combined union coverage of
+    # all exact scaffolds is the comparable end metric
     best = max(scaffolds, key=len) if scaffolds else np.empty(0, np.int16)
     gl = "".join(chr(65 + s % N_MONO) for s in genome_syms)
     sl = "".join(chr(65 + s % N_MONO) for s in best)
     exact = sl in gl or sl in gl[::-1]
-    # longest common run via simple scan at the aligned offset
+    covered = np.zeros(len(genome_syms), bool)
+    n_exact = 0
+    for sc in scaffolds:
+        s = "".join(chr(65 + x % N_MONO) for x in sc)
+        p = gl.find(s)
+        if p < 0:
+            p = gl.find(s[::-1])
+        if p >= 0:
+            covered[p:p + len(s)] = True
+            n_exact += 1
     return {
         "n_hor": n_hor,
         "genome_monomers": len(genome_syms),
@@ -216,9 +237,12 @@ def part_b_assembly(rng, n_hor, coverage):
         "iterative_graph_s": round(t_graph, 1),
         "map_and_scaffold_s": round(t_scaf, 1),
         "n_scaffolds": len(scaffolds),
+        "n_exact_scaffolds": n_exact,
         "best_scaffold_monomers": int(len(best)),
         "scaffold_exact_substring_of_genome": bool(exact),
         "genome_recovered_frac": round(len(best) / len(genome_syms), 4),
+        "union_recovered_frac": round(
+            float(covered.sum()) / len(genome_syms), 4),
         "reference_envelope": "centroFlyeMono ~30 min single process "
                               "(README.md:210-213)",
     }

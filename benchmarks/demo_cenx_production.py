@@ -22,8 +22,10 @@ real ONT error is higher nominally but clustered (homopolymers), so
 it; pass a third argument to explore other noise levels.
 
 Run: python benchmarks/demo_cenx_production.py [n_units] [coverage] [noise]
-Defaults 1500 32 0.055 (the production shape at rel2-equivalent error).
-Smaller shapes, e.g. `200 16 0.055`, are useful for smoke runs.
+Defaults 1500 50 0.055: rel2 is ~50x TOTAL with ~32x on ultra-long
+50kb+ reads (README.md:87; centroFlye.py:31-32 — the reference's
+--coverage 32 counts only 50kb+ reads), at rel2-equivalent error.
+Smaller shapes, e.g. `200 25 0.055`, are useful for smoke runs.
 """
 
 import json
@@ -51,16 +53,24 @@ from centroflye_tpu.pipeline.cenx import CenXPipeline
 
 
 def rel2_length_mix(rng, n):
-    """rel2-like read lengths: ~85% 'regular' long reads (~13 kb mean)
-    plus an ultra-long component (~45 kb mean, tail past 100 kb) — the
-    rel2 release is 155 Gbp / 11.1 M reads (mean ~14 kb) and is
-    specifically the ultra-long nanopore set."""
-    ul = rng.random(n) < 0.15
+    """rel2-like read lengths for the RECRUITED cenX set: the reference
+    runs with --coverage 32 documented as 'Coverage with ultra-long
+    (50kb+) reads' (centroFlye.py:31-32) out of the ~50x total rel2 set
+    (README.md:87) — i.e. ~2/3 of recruited BASES ride 50kb+ reads.
+    This mix realizes that split: 25% of reads ~79 kb mean (tail past
+    150 kb), 75% ~13 kb mean => ~0.65 of bases in 50kb+ reads. The UL
+    share is STRUCTURAL, not cosmetic: a distance-d edge's count is
+    (reads spanning units t and t+d) x survival^2, and only 50kb+
+    reads span enough unit pairs to push counts over min_coverage=4 —
+    a short-read mix starves the unique-k-mer stage at any coverage
+    (measured: 3,593 unique k-mers / 24 placed reads of 5,542 at a
+    32x mostly-short mix)."""
+    ul = rng.random(n) < 0.25
     lens = np.where(
         ul,
-        rng.lognormal(np.log(40_000), 0.5, n),
+        rng.lognormal(np.log(75_000), 0.35, n),
         rng.lognormal(np.log(11_000), 0.6, n))
-    return np.clip(lens, 3_000, 120_000).astype(np.int64)
+    return np.clip(lens, 3_000, 200_000).astype(np.int64)
 
 
 def sample_divergence(assembly, truth, rng, chunk=10_000, n_chunks=32,
@@ -90,7 +100,7 @@ def sample_divergence(assembly, truth, rng, chunk=10_000, n_chunks=32,
 
 def main():
     n_units = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
-    coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 32.0
+    coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 50.0
     noise = float(sys.argv[3]) if len(sys.argv) > 3 else 0.055
     div_rate = 0.003          # intra-array HOR divergence (~real DXZ1)
     flank = 200_000           # the reference simulator's default
@@ -112,11 +122,13 @@ def main():
 
     # reads: uniform starts over the flanked genome, rel2-like lengths,
     # random strand, `noise` uniform sub/ins/del error
-    n_reads = int(coverage * len(g) / 16_500)   # mix mean ~16.5 kb
+    n_reads = int(coverage * len(g) / 29_000)   # mix mean ~29 kb
     lens = rel2_length_mix(rng, n_reads)
     starts = rng.integers(0, len(g), size=n_reads)
     reads = {}
     cen_bases = 0
+    ul_cen_bases = 0      # bases on 50kb+ reads — the reference's
+    #                       --coverage counts THESE (centroFlye.py:31-32)
     for i in range(n_reads):
         s, L = int(starts[i]), int(lens[i])
         seq = g[s:s + L]
@@ -124,6 +136,8 @@ def main():
             continue
         ov = max(0, min(s + L, te) - max(s, ts))
         cen_bases += ov
+        if len(seq) >= 50_000:
+            ul_cen_bases += ov
         if rng.random() < 0.5:
             seq = revcomp_str(seq)
         reads[f"sim{i:05d}"] = seq
@@ -148,10 +162,13 @@ def main():
     for b in range(300):
         reads[f"bg{b:03d}"] = sim_mod.gen_random_seq(rng, 12_000)
     print(f"{len(reads)} reads, tandem {len(sim.tr):,} bp, realized "
-          f"tandem coverage {cen_bases / len(sim.tr):.1f}x", flush=True)
+          f"tandem coverage {cen_bases / len(sim.tr):.1f}x "
+          f"({ul_cen_bases / len(sim.tr):.1f}x on 50kb+ reads)",
+          flush=True)
     reads = {r: sim_mod.add_read_noise(rng, s, noise)
              for r, s in reads.items()}
     realized_cov = cen_bases / len(sim.tr)
+    realized_ul_cov = ul_cen_bases / len(sim.tr)
 
     tag = f"{n_units}u_c{int(coverage)}_n{int(noise * 100)}"
     simdir, rundir = f"/tmp/cenx_prod_sim_{tag}", f"/tmp/cenx_prod_run_{tag}"
@@ -165,8 +182,11 @@ def main():
     t_sim = time.time() - t_all
 
     survival = (1.0 - noise) ** 19
+    # the reference's --coverage is the ULTRA-LONG (50kb+) coverage
+    # (centroFlye.py:31-32, 32 for rel2) — the rare band and placer
+    # calibrate against it, while all recruited reads feed the stages
     cfg = CentroFlyeConfig(
-        coverage=int(round(realized_cov)),
+        coverage=max(int(round(realized_ul_cov)), 1),
         recruitment=RecruitmentConfig(threshold=350),
         decomposition=UnitDecompositionConfig(min_record_len=5000),
         kmer_recruitment=KmerRecruitmentConfig(
@@ -185,7 +205,9 @@ def main():
     div = d / max(b, 1)
     summary = {
         "shape": {"n_units": n_units, "tandem_bp": len(sim.tr),
-                  "coverage": round(realized_cov, 1), "noise": noise,
+                  "coverage": round(realized_cov, 1),
+                  "coverage_ul50kb": round(realized_ul_cov, 1),
+                  "noise": noise,
                   "n_reads": len(reads),
                   "read_bp": sum(len(s) for s in reads.values())},
         "assembly_bp": len(final),
