@@ -12,6 +12,7 @@ from centroflye_tpu.io.encoding import (  # noqa: F401
     kmer_strings,
 )
 from centroflye_tpu.io.fasta import (  # noqa: F401
+    atomic_write,
     read_seq,
     read_seqs,
     write_seqs,

@@ -10,10 +10,45 @@ recruitment stage when built.
 
 from __future__ import annotations
 
+import contextlib
 import gzip
 import io
 import os
 from typing import Dict, Iterator, Tuple
+
+
+@contextlib.contextmanager
+def atomic_write(filename: str, mode: str = "w", **kwargs):
+    """Crash-safe artifact writer: stream into `<name>.<pid>.tmp` in the
+    destination directory and `os.replace` it into place only on clean
+    exit (unlink on exception). Stage artifacts double as resume
+    checkpoints (pipeline/cenx.py skip-if-exists), so a stage killed
+    mid-write must leave NO file at the artifact path — a partial
+    artifact would be silently trusted as a completed stage on the next
+    run. The reference has no resume at all (its centroFlye.py reruns
+    from scratch), so it never faces this; any framework with
+    checkpointing must write atomically."""
+    path = os.path.abspath(filename)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # a SIGKILLed writer can't clean its own tmp; sweep predecessors'
+    # litter for this artifact before starting a fresh attempt
+    import glob
+    for stale in glob.glob(f"{path}.*.tmp"):
+        with contextlib.suppress(OSError):
+            os.unlink(stale)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    f = open(tmp, mode, **kwargs)
+    try:
+        yield f
+        f.flush()
+        os.fsync(f.fileno())
+        f.close()
+        os.replace(tmp, path)
+    except BaseException:
+        f.close()
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
 
 
 def _open_text(filename: str):
@@ -83,9 +118,8 @@ def read_seq(filename: str) -> str:
 
 
 def write_seqs(filename: str, seqs: Dict[str, str]) -> None:
-    """Write FASTA, one line per sequence (reference utils/bio.py:32-36)."""
-    dirname = os.path.dirname(os.path.abspath(filename))
-    os.makedirs(dirname, exist_ok=True)
-    with open(filename, "w", encoding="ascii") as f:
+    """Write FASTA, one line per sequence (reference utils/bio.py:32-36).
+    Atomic: see atomic_write."""
+    with atomic_write(filename, encoding="ascii") as f:
         for seq_id, seq in seqs.items():
             f.write(f">{seq_id}\n{seq}\n")

@@ -107,7 +107,8 @@ def merge_partial_fastas(output_fn: str, timeout_s: float = 3600.0,
                     records.append((int(ordinal), r_id, line))
                     header = None
     records.sort()
-    with open(output_fn, "w") as out:
+    from centroflye_tpu.io.fasta import atomic_write
+    with atomic_write(output_fn) as out:
         for _, r_id, seq in records:
             out.write(f">{r_id}\n{seq}\n")
     for part in parts:

@@ -27,7 +27,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from centroflye_tpu.config import CentroFlyeConfig
-from centroflye_tpu.io import read_seq, read_seqs, write_seqs, iter_seqs
+from centroflye_tpu.io import (
+    atomic_write, read_seq, read_seqs, write_seqs, iter_seqs)
 from centroflye_tpu.io.encoding import kmer_strings
 from centroflye_tpu.stages.unit_decomposition import (
     UnitDecomposer, Decomposition, DecompRecord,
@@ -162,7 +163,7 @@ class CenXPipeline:
         # artifact parity: sorted kmer strings, one per line (reference
         # distance_based_kmer_recruitment.py:158-171)
         strs = kmer_strings(uniq_codes, kcfg.k)
-        with open(kmers_fn, "w") as f:
+        with atomic_write(kmers_fn) as f:
             for s in sorted(strs):
                 print(s, file=f)
         edges_fn = os.path.join(
@@ -171,7 +172,7 @@ class CenXPipeline:
         # vectorized formatting: edge files reach millions of rows at
         # production scale (5.7M at the 400-unit benchmark), a per-row
         # print() loop costs minutes there
-        with open(edges_fn, "w") as f:
+        with atomic_write(edges_fn) as f:
             for e0 in range(0, len(edges.i), 1 << 20):
                 sl = slice(e0, e0 + (1 << 20))
                 cols = np.char.add(np.char.add(np.char.add(np.char.add(
@@ -277,7 +278,7 @@ class CenXPipeline:
             threshold=(self.config.placer.min_unit,
                        self.config.placer.min_inters))
         n_same = 0
-        with open(out_fn, "w") as f:
+        with atomic_write(out_fn) as f:
             print("r_id placed remapped agree", file=f)
             for r_id, pos in placements.items():
                 remapped = positions.get(r_id)
@@ -328,7 +329,7 @@ def save_decomposition(dec: Decomposition, filename: str) -> None:
         "read_lens": dec.read_lens,
         "discarded": dec.discarded,
     }
-    with open(filename, "w") as f:
+    with atomic_write(filename) as f:
         json.dump(payload, f)
 
 

@@ -143,7 +143,8 @@ def write_ncrf_like_report(dec: Decomposition, motif: str,
     to exactly this decomposition."""
     from centroflye_tpu.ops.align_path import align_path
 
-    with open(out_fn, "w") as f:
+    from centroflye_tpu.io.fasta import atomic_write
+    with atomic_write(out_fn) as f:
         for r_id, rec in dec.records.items():
             r_parts = []
             m_parts = []

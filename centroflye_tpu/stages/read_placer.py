@@ -130,9 +130,8 @@ class ReadPlacer:
         """read_positions.csv artifact (reference read_placer.py:36-89
         format: prefix reads "r_id 0"; placed "r_id pos s0 s1";
         unplaced "r_id None")."""
-        os.makedirs(os.path.dirname(os.path.abspath(filename)),
-                    exist_ok=True)
-        with open(filename, "w") as f:
+        from centroflye_tpu.io.fasta import atomic_write
+        with atomic_write(filename) as f:
             for r_id, pos in self.placements.items():
                 if pos is None:
                     print(r_id, None, file=f)

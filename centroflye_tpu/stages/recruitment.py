@@ -524,9 +524,8 @@ def recruit_file(unit_fn: str, reads_fn: str, output_fn: str,
             pending_seqs.append(seq)
             yield r_id, seq
 
-    import os
-    os.makedirs(os.path.dirname(os.path.abspath(output_fn)), exist_ok=True)
-    with open(output_fn, "w") as out:
+    from centroflye_tpu.io.fasta import atomic_write
+    with atomic_write(output_fn) as out:
         for res in engine.run(reads_iter()):
             seq = pending_seqs.popleft()
             if res.recruited:

@@ -107,3 +107,28 @@ def test_fastq_gz(tmp_path):
         f.write("@r1\nACGT\n+\nIIII\n@r2 x\nGGCC\n+\nIIII\n")
     from centroflye_tpu.io import read_seqs
     assert read_seqs(fn) == {"r1": "ACGT", "r2": "GGCC"}
+
+
+def test_atomic_write_crash_safety(tmp_path):
+    """A writer killed mid-stream must leave NOTHING at the artifact
+    path (stage artifacts double as resume checkpoints — a partial
+    file would be trusted as a completed stage on the next run)."""
+    import os
+    import pytest
+    from centroflye_tpu.io import atomic_write, read_seqs
+
+    fn = str(tmp_path / "art.fasta")
+    with pytest.raises(RuntimeError):
+        with atomic_write(fn) as f:
+            f.write(">r1\nACGT\n")
+            raise RuntimeError("simulated kill")
+    assert not os.path.exists(fn)
+    assert os.listdir(str(tmp_path)) == []          # no tmp litter
+
+    # clean exit replaces atomically, overwriting a stale artifact
+    with atomic_write(fn) as f:
+        f.write(">r1\nACGT\n")
+    with atomic_write(fn) as f:
+        f.write(">r2\nTTTT\n")
+    assert read_seqs(fn) == {"r2": "TTTT"}
+    assert os.listdir(str(tmp_path)) == ["art.fasta"]
