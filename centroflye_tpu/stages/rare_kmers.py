@@ -36,18 +36,31 @@ from centroflye_tpu.ops.kmers import (
 
 
 def _iter_batches(seqs: Sequence[str], batch_rows: int, pad_to: int):
-    """Fixed-shape batches: rows always batch_rows (empty-padded), columns
-    always the GLOBAL max length rounded to pad_to — one shape for the
-    whole sweep, one (remote) compile. Short rows cost only masked-out
-    windows on device; a per-batch shape would cost a fresh compile."""
-    L = max((len(s) for s in seqs), default=1)
-    L = max(pad_to, -(-L // pad_to) * pad_to)
-    for i in range(0, len(seqs), batch_rows):
-        chunk = list(seqs[i:i + batch_rows])
-        if len(chunk) < batch_rows and len(seqs) > batch_rows:
+    """Length-tiered batches: rows always batch_rows (empty-padded),
+    columns the BATCH's own max length rounded up to a power of two
+    (floored at pad_to). Reads are visited longest-first so each batch
+    is length-homogeneous — padding waste is bounded by 2x instead of
+    the max/mean ratio of the corpus (a rel2-like heavy-tailed mix has
+    a ~150 kb max over a ~14 kb mean: global-max padding burns ~10x
+    the device windows on every pass). Column dims are powers of two,
+    so shape variety (and thus compile count) is log-bounded; the
+    persistent compile cache amortizes them across runs. Yields
+    (row_ids, codes, lens) — row_ids are ORIGINAL sequence indices
+    (the length sort permutes visit order; k-mer read-counts are
+    id-agnostic but callers tag rows by original position)."""
+    order = sorted(range(len(seqs)), key=lambda i: -len(seqs[i]))
+    for b0 in range(0, len(order), batch_rows):
+        idx = order[b0:b0 + batch_rows]
+        chunk = [seqs[i] for i in idx]
+        L = max((len(s) for s in chunk), default=1)
+        L = max(pad_to, 1 << int(np.ceil(np.log2(max(L, 1)))))
+        ids = np.asarray(idx, np.int32)
+        if len(chunk) < batch_rows and len(order) > batch_rows:
+            ids = np.concatenate([
+                ids, np.zeros(batch_rows - len(chunk), np.int32)])
             chunk += [""] * (batch_rows - len(chunk))
         codes, lens = encode_batch(chunk, max_len=L)
-        yield i, codes, lens
+        yield ids, codes, lens
 
 
 @jax.jit
@@ -178,14 +191,13 @@ def read_kmer_table(
     occ_table = None
     if min_occurrences > 1 and n_dev == 1:
         occ_table = jnp.zeros((1 << _HASH_BITS,), jnp.int32)
-        for _row0, codes, lens in _iter_batches(seqs, batch_rows, 256):
+        for _ids, codes, lens in _iter_batches(seqs, batch_rows, 256):
             occ_table = _occ_accumulate(occ_table, codes, lens, k=k)
         occ_table.block_until_ready()
     t_occ = time.perf_counter()
 
-    for row0, codes, lens in _iter_batches(seqs, batch_rows, 256):
-        rid_rows = (np.arange(codes.shape[0], dtype=np.int32)[:, None]
-                    + row0)
+    for ids, codes, lens in _iter_batches(seqs, batch_rows, 256):
+        rid_rows = ids[:, None]
         win_b = int(np.maximum(lens.astype(np.int64) - k + 1, 0).sum())
         masked = None
         if occ_table is not None:
