@@ -35,7 +35,8 @@ from centroflye_tpu.ops.kmers import (
 )
 
 
-def _iter_batches(seqs: Sequence[str], batch_rows: int, pad_to: int):
+def _iter_batches(seqs: Sequence[str], batch_rows: int, pad_to: int,
+                  window_budget: int = 1 << 24):
     """Length-tiered batches: rows always batch_rows (empty-padded),
     columns the BATCH's own max length rounded up to a power of two
     (floored at pad_to). Reads are visited longest-first so each batch
@@ -47,20 +48,37 @@ def _iter_batches(seqs: Sequence[str], batch_rows: int, pad_to: int):
     persistent compile cache amortizes them across runs. Yields
     (row_ids, codes, lens) — row_ids are ORIGINAL sequence indices
     (the length sort permutes visit order; k-mer read-counts are
-    id-agnostic but callers tag rows by original position)."""
+    id-agnostic but callers tag rows by original position).
+
+    Row count per batch adapts to the tier: each batch targets
+    ~`window_budget` padded elements, so short-read tiers pack
+    thousands of rows per batch instead of `batch_rows` (the floor).
+    Per-batch DISPATCH cost, not device FLOPs, dominates this stage on
+    dispatch-latency-bound links (~40 ms/dispatch through the dev
+    tunnel x dozens of ops per batch); a fixed small row count pays it
+    ~10x more often than the data requires. Rows are powers of two, so
+    (rows, cols) shape variety stays log-bounded."""
     order = sorted(range(len(seqs)), key=lambda i: -len(seqs[i]))
-    for b0 in range(0, len(order), batch_rows):
-        idx = order[b0:b0 + batch_rows]
+    b0 = 0
+    while b0 < len(order):
+        L0 = max(len(seqs[order[b0]]), 1)
+        Lp = max(pad_to, 1 << int(np.ceil(np.log2(L0))))
+        rows = max(batch_rows, 1 << max(0, int(np.log2(
+            max(window_budget // Lp, 1)))))
+        idx = order[b0:b0 + rows]
         chunk = [seqs[i] for i in idx]
+        # rows were sized for the tier leader; keep the batch's own max
+        # (later rows are shorter — never wider)
         L = max((len(s) for s in chunk), default=1)
         L = max(pad_to, 1 << int(np.ceil(np.log2(max(L, 1)))))
         ids = np.asarray(idx, np.int32)
-        if len(chunk) < batch_rows and len(order) > batch_rows:
+        if len(chunk) < rows and len(order) > rows:
             ids = np.concatenate([
-                ids, np.zeros(batch_rows - len(chunk), np.int32)])
-            chunk += [""] * (batch_rows - len(chunk))
+                ids, np.zeros(rows - len(chunk), np.int32)])
+            chunk += [""] * (rows - len(chunk))
         codes, lens = encode_batch(chunk, max_len=L)
         yield ids, codes, lens
+        b0 += rows
 
 
 @jax.jit
