@@ -216,6 +216,81 @@ int32_t hw_banded(const int8_t* query, int32_t qlen, const int8_t* target,
 
 }  // namespace
 
+// ---- banded NW (threshold-k) path ----------------------------------------
+//
+// Global-alignment sibling of hw_banded (role of edlib's
+// myersCalcEditDistanceNW block band, edlib.cpp:707-800 — own
+// implementation). Any NW cell satisfies value(i, c) >= |i - c|, so the
+// band is the sliding diagonal |i - c| <= k: blocks above it drop for
+// free (no bit inspection), blocks below it attach lazily exactly like
+// the HW band. The query is padded to whole words with match-all rows
+// and the target with `pad` match-all-only columns (code 4 matches only
+// the padded rows), which forces `pad` free diagonal steps at the end:
+// NW(q', t') == NW(q, t) with the answer in the padded bottom row.
+// Megabase near-identical pairs (polish convergence reports) cost
+// O(tlen * k / 64) words instead of the full O(tlen * qlen / 64).
+
+namespace {
+
+int32_t nw_banded(const int8_t* query, int32_t qlen, const int8_t* target,
+                  int32_t tlen, int32_t k) {
+  if (k < 0) return -1;
+  if (qlen > tlen ? (qlen - tlen > k) : (tlen - qlen > k)) return -1;
+  if (k > qlen + tlen) k = qlen + tlen;
+  const int words = (qlen + kWord - 1) / kWord;
+  const int pad = words * kWord - qlen;
+  std::vector<uint64_t> peq(5 * (size_t)words, 0);
+  for (int32_t i = 0; i < qlen; ++i) {
+    int a = query[i];
+    if (a >= 0 && a < 4)
+      peq[(size_t)a * words + i / kWord] |= uint64_t{1} << (i % kWord);
+  }
+  for (int32_t i = qlen; i < words * kWord; ++i)
+    for (int a = 0; a < 5; ++a)
+      peq[(size_t)a * words + i / kWord] |= uint64_t{1} << (i % kWord);
+
+  int first = 0;
+  int last = (k + 1 + kWord - 1) / kWord;
+  if (last > words) last = words;
+  last -= 1;
+  std::vector<uint64_t> P(words, ~uint64_t{0}), M(words, 0);
+  std::vector<int> score(words);
+  for (int b = 0; b <= last; ++b) score[b] = (b + 1) * kWord;
+
+  const int32_t tpad = tlen + pad;
+  for (int32_t c = 0; c < tpad; ++c) {
+    int a = c < tlen ? target[c] : 4;
+    if (a < 0 || a > 4) a = 4;
+    const uint64_t* eq = &peq[(size_t)a * words];
+    // global mode: row-0 boundary accrues +1 per column; a dropped top
+    // region contributes the same worst-case +1 boundary
+    uint64_t hp = 1, hn = 0;
+    for (int b = first; b <= last; ++b) {
+      word_update2(P[b], M[b], eq[b], hp, hn);
+      score[b] += (int)hp - (int)hn;
+    }
+    const int hout = (int)hp - (int)hn;
+    if (last < words - 1 && score[last] - hout <= k &&
+        ((eq[last + 1] & 1) || hout < 0)) {
+      ++last;
+      P[last] = ~uint64_t{0};
+      M[last] = 0;
+      score[last] = score[last - 1] - hout + kWord;
+      score[last] += word_update(P[last], M[last], eq[last], hout);
+    } else {
+      while (last >= first && score[last] >= k + kWord) --last;
+    }
+    // rows i <= c - k - 1 can never return to <= k (value >= c - i);
+    // drop whole blocks above the sliding diagonal
+    while (first <= last && (first + 1) * kWord - 1 < c - k) ++first;
+    if (last < first) return -1;   // whole band > k => all later cells too
+  }
+  if (last != words - 1) return -1;
+  return score[words - 1] <= k ? score[words - 1] : -1;
+}
+
+}  // namespace
+
 extern "C" int32_t cf_edit_distance(const int8_t* query, int32_t qlen,
                                     const int8_t* target, int32_t tlen,
                                     int32_t mode, int32_t k,
@@ -226,6 +301,10 @@ extern "C" int32_t cf_edit_distance(const int8_t* query, int32_t qlen,
   }
   if (mode == CF_MODE_HW && k >= 0) {
     return hw_banded(query, qlen, target, tlen, k, end_pos);
+  }
+  if (mode == CF_MODE_NW && k >= 0) {
+    if (end_pos) *end_pos = tlen - 1;
+    return nw_banded(query, qlen, target, tlen, k);
   }
   Peq peq = build_peq(query, qlen);
   int words = peq.words;

@@ -150,14 +150,57 @@ class EltrPolisher:
         return PolishOutput(final_sequences=final, comparison=comparison)
 
 
+_DEVICE_NW_MAX = 1 << 20
+
+
 def _edit_distance(a: str, b: str) -> int:
-    """Global edit distance via the batched Myers kernel (device)."""
+    """Global edit distance for the polish convergence report (reference
+    eltr_polisher.py:133-146 compares successive iterations with edlib).
+
+    Successive polish iterations are near-identical megabase strings, so
+    the production path is the native C++ banded NW with a doubling
+    threshold: O(n * k_true) work instead of the full O(n * m) DP —
+    megabases compare in seconds. The device Myers kernel remains for
+    short inputs and native-less environments; a full-matrix device NW
+    on multi-Mbp inputs is the wrong tool (O(m/64 * n) scan — observed
+    to take down the device worker at 3.1 Mbp), so oversize inputs
+    without native fall back to a windowed upper bound (exact unless an
+    alignment's net indel drift crosses a window boundary; convergence
+    reporting only needs the trend to zero)."""
     if not a or not b:
         return max(len(a), len(b))
+    from centroflye_tpu.io.encoding import encode
+    q, t = (a, b) if len(a) <= len(b) else (b, a)
+    try:
+        from centroflye_tpu.native import (
+            native_available, native_edit_distance)
+        has_native = native_available()
+    except ImportError:
+        has_native = False
+    if has_native:
+        qc, tc = encode(q), encode(t)
+        k = max(1024, 2 * (len(t) - len(q)))
+        while True:
+            d, _ = native_edit_distance(qc, tc, mode="NW", k=k)
+            if d >= 0:
+                return d
+            if k >= max(len(q), len(t)):
+                return max(len(q), len(t))
+            k *= 4
+    if len(q) > _DEVICE_NW_MAX:
+        w = _DEVICE_NW_MAX // 2
+        return sum(_device_nw(q[i:i + w], t[i:i + w])
+                   for i in range(0, max(len(q), len(t)), w))
+    return _device_nw(q, t)
+
+
+def _device_nw(q: str, t: str) -> int:
+    if not q or not t:
+        return max(len(q), len(t))
     from centroflye_tpu.io.encoding import encode, encode_batch
     from centroflye_tpu.ops.myers import build_peq, myers_distance_batch
-    # query = shorter string for a smaller bit-state
-    q, t = (a, b) if len(a) <= len(b) else (b, a)
+    if len(q) > len(t):
+        q, t = t, q
     peq = build_peq(encode(q))
     codes, lens = encode_batch([t])
     out = myers_distance_batch(peq, codes, lens, m=len(q), mode="NW")

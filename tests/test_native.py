@@ -165,6 +165,40 @@ def test_native_banded_hw_exact(rng, make_dna, make_mutant):
                 assert d == -1, (trial, k, d, want)
 
 
+def test_native_banded_nw_exact(rng, make_dna, make_mutant):
+    """The banded (threshold-k) NW path must agree with the unbanded
+    engine whenever the true distance is within k and report -1
+    otherwise (nw_banded: sliding-diagonal block band; role of edlib's
+    myersCalcEditDistanceNW, edlib.cpp:707-800)."""
+    for trial in range(25):
+        m = int(rng.integers(10, 400))
+        q = make_dna(m)
+        if trial % 2 == 0:
+            t = make_mutant(q, n_sub=max(1, m // 15), n_ins=3, n_del=3)
+        else:
+            t = make_dna(int(rng.integers(5, 500)))
+        qc, tc = encode(q), encode(t)
+        want, _ = native_edit_distance(qc, tc, mode="NW", k=-1)
+        for k in (0, 1, 3, want - 1, want, want + 7, m + 500):
+            if k < 0:
+                continue
+            d, _ = native_edit_distance(qc, tc, mode="NW", k=k)
+            if want <= k:
+                assert d == want, (trial, k, d, want)
+            else:
+                assert d == -1, (trial, k, d, want)
+
+
+def test_polisher_edit_distance_large(make_dna, make_mutant):
+    """_edit_distance (polish convergence report) must handle
+    megabase-scale near-identical pairs without a device-sized NW."""
+    from centroflye_tpu.stages.polisher import _edit_distance
+    a = make_dna(300_000)
+    b = make_mutant(a, n_sub=40, n_ins=10, n_del=10)
+    d = _edit_distance(a, b)
+    assert 10 <= d <= 120
+
+
 def test_native_banded_batch(rng, make_dna, make_mutant):
     q = make_dna(120)
     texts = [make_mutant(q * 2, n_sub=6) if i % 2 == 0
