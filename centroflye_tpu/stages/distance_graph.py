@@ -314,6 +314,7 @@ def _strip_sweep(
     dedup_hint: int = 1,
     max_capacity: int = 1 << 27,
     mesh=None,
+    adaptive: bool = True,
 ):
     """Yield one sorted (i, j, d) -> count device table per i-range strip,
     strips in ascending i order (so concatenating valid prefixes yields
@@ -429,6 +430,23 @@ def _strip_sweep(
             below_cache[v] = ((clouds_tensor < v) & vmask).sum(axis=2)
         return below_cache[v]
 
+    # pair counts are LINEAR in the strip's per-(read, unit) element
+    # counts: pairs(strip) = sum_{r,t} seg_len[r,t] * W[r,t] with
+    # W[r,t] = sum_{d in [min_d, d_hi], t+d < T} sizes[r, t+d] — one
+    # precomputed suffix-cumsum plane replaces the per-strip d-loop
+    # (O(R*T) per strip instead of O(R*T*d_hi))
+    _scs = np.concatenate(
+        [np.cumsum(sizes[:, ::-1], axis=1)[:, ::-1],
+         np.zeros((R, 1), np.int64)], axis=1)   # suffix sums, (R, T+1)
+    _w_lo = np.minimum(np.arange(T) + config.min_distance, T)
+    _w_hi = np.minimum(np.arange(T) + d_hi + 1, T)
+    pair_weight = np.take_along_axis(_scs, _w_lo[None, :], axis=1) - \
+        np.take_along_axis(_scs, _w_hi[None, :], axis=1)   # (R, T)
+
+    def pair_count(lo: int, hi: int) -> int:
+        return int(((below_count(hi) - below_count(lo))
+                    .astype(np.int64) * pair_weight).sum())
+
     sharded_steps = {}
     # per-strip proof that capacity-saturated tables cannot overflow:
     # distinct keys <= the strip's pair-observation bound, so when that
@@ -436,6 +454,7 @@ def _strip_sweep(
     # device round trip each — ~40 ms dispatch on tunneled harnesses,
     # and a pipeline stall anywhere) is provably dead and skipped
     strip_no_ovf = [False]
+    dedup_obs = [None]   # adaptive-striping calibration result
 
     def run_chunk(bufs, c0, total, chunk):
         """One pair-range chunk -> (table, cap). The chunk table covers
@@ -492,15 +511,13 @@ def _strip_sweep(
         seg_len = below_count(s_hi) - lo_c
         # cheap reductions first: strip pair/sub-bucket totals without
         # materializing the bucket grid on host
-        total_strip = 0
+        total_strip = int((seg_len.astype(np.int64) * pair_weight).sum())
         total_subs = 0
         for d in range(config.min_distance, d_hi + 1):
             if d >= T:
                 break
-            a = seg_len[:, :T - d]
-            b = sizes[:, d:]
-            total_strip += int((a * b).sum())
-            total_subs += int(np.minimum(a, b).sum())
+            total_subs += int(np.minimum(
+                seg_len[:, :T - d], sizes[:, d:]).sum())
         if total_strip == 0:
             continue
         strip_no_ovf[0] = total_strip <= capacity
@@ -686,10 +703,48 @@ def _strip_sweep(
             work.append((mid, s_hi))
             work.append((s_lo, mid))
             continue
-        # NO distinct-count host sync here in production: the strip
-        # yields with its device table still in flight, so the next
-        # strip's host prep + uploads overlap this strip's compute and
-        # the consumer's readback. Callers needing n sync themselves.
+        # ADAPTIVE STRIPING: the uniform grid is sized by the raw
+        # pair-observation bound, but every (i, j, d) key is observed
+        # once per spanning read with both k-mers surviving — the
+        # realized distinct/pairs ratio ("dedup") is typically 2-5x at
+        # production coverage, and per-strip fixed costs (device prep,
+        # fold, filter sort at capacity, readback dispatch) dominate
+        # once tables stop overflowing. Calibrate the dedup on the
+        # FIRST executed strip (one scalar sync, ~40 ms) and coalesce
+        # the remaining uniform ranges so each future strip carries
+        # ~capacity * dedup * 0.75 pairs; the overflow-split worklist
+        # remains the safety net if a coalesced strip's distinct count
+        # exceeds capacity after all.
+        if adaptive and dedup_obs[0] is None and acc is not None \
+                and work:
+            n_strip = int(jnp.sum(
+                (acc[0] != jnp.uint32(_SENT)).astype(jnp.int32)))
+            if n_strip > 0:
+                dedup_obs[0] = max(1.0, total_strip / n_strip)
+                target = int(capacity * max(1.0, 0.75 * dedup_obs[0]))
+                merged, cur = [], None
+                for lo, hi in reversed(work):      # ascending ranges
+                    if cur is None:
+                        cur = (lo, hi)
+                    elif cur[1] == lo and \
+                            pair_count(cur[0], hi) <= target:
+                        cur = (cur[0], hi)
+                    else:
+                        merged.append(cur)
+                        cur = (lo, hi)
+                if cur is not None:
+                    merged.append(cur)
+                if len(merged) < len(work):
+                    logger.info(
+                        "distance sweep: dedup %.2f observed — "
+                        "coalescing %d remaining strips into %d",
+                        dedup_obs[0], len(work), len(merged))
+                work[:] = merged[::-1]
+        # NO distinct-count host sync here in production (beyond the
+        # one calibration strip above): the strip yields with its
+        # device table still in flight, so the next strip's host prep +
+        # uploads overlap this strip's compute and the consumer's
+        # readback. Callers needing n sync themselves.
         if profile and acc is not None:
             n_dbg = int(jnp.sum((acc[0] != jnp.uint32(_SENT))
                                 .astype(jnp.int32)))

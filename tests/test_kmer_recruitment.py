@@ -353,6 +353,46 @@ def test_multi_strip_sweep_and_device_filter(rng):
     assert got_s == want_kept
 
 
+def test_adaptive_striping_high_dedup(rng):
+    """Adaptive striping: when many reads share clouds (every key
+    observed ~R times), the first strip's calibration must coalesce the
+    remaining uniform ranges — with results identical to the
+    non-adaptive sweep and to dedup_hint-driven striping."""
+    R, T, Kc = 12, 8, 16
+    n_kmers = 400
+    # all reads see the SAME per-position clouds -> dedup factor ~= R
+    per_pos = [np.sort(rng.choice(n_kmers, size=Kc, replace=False))
+               for _ in range(T)]
+    tensor = np.stack([np.stack(per_pos)] * R).astype(np.int32)
+    n_units = np.full(R, T, np.int32)
+    cfg = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=5,
+                                min_coverage=3)
+    rare_fake = np.arange(n_kmers, dtype=np.uint64)
+    cap = 1 << 9
+    uniq_a, edges_a = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg, capacity=cap, entry_chunk=128)
+    from centroflye_tpu.stages.distance_graph import _strip_sweep
+    # non-adaptive: same capacity, uniform grid all the way
+    strips_na = sum(1 for _ in _strip_sweep(
+        tensor, n_units, cfg, capacity=cap, entry_chunk=128,
+        adaptive=False))
+    strips_a = sum(1 for _ in _strip_sweep(
+        tensor, n_units, cfg, capacity=cap, entry_chunk=128,
+        adaptive=True))
+    assert strips_a < strips_na, (strips_a, strips_na)
+    uniq_na, edges_na = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg, capacity=cap, entry_chunk=128,
+        dedup_hint=1)
+    assert np.array_equal(uniq_a, uniq_na)
+    got_a = {(int(a), int(b), int(d)): int(f)
+             for a, b, d, f in zip(edges_a.i, edges_a.j, edges_a.dist,
+                                   edges_a.freq)}
+    got_na = {(int(a), int(b), int(d)): int(f)
+              for a, b, d, f in zip(edges_na.i, edges_na.j,
+                                    edges_na.dist, edges_na.freq)}
+    assert got_a == got_na
+
+
 def test_distance_table_uncanonical_rows(rng):
     """Cloud rows that arrive unsorted and with -1 holes in the middle
     must count identically to canonical (sorted, valid-front) rows: the
