@@ -185,19 +185,35 @@ def read_kmer_table(
 
     forest: Dict[int, tuple] = {}
 
+    def shrink(t, n, cap):
+        """Slice a sorted SENTINEL-padded table down to pow2(n): table
+        capacities must track the REALIZED distinct count, not the sum
+        of input capacities — without this, capacities accumulate up
+        the merge chain to pow2(total windows) (2^28 at production
+        shape) and the fold concat-sorts ~0.5G-row tables holding ~5M
+        real keys (observed: 222s of 'fold' and an HBM OOM)."""
+        new_cap = max(256, _pow2(max(n, 1)))
+        if new_cap >= cap:
+            return t, cap
+        return (t[0][:new_cap], t[1][:new_cap], t[2][:new_cap],
+                t[3]), new_cap
+
     def merge_pair(ta, cap_a, tb, cap_b):
         nonlocal max_capacity
         out = min(_pow2(cap_a + cap_b), max_capacity)
         while True:
             m = merge_count_tables(ta[0], ta[1], ta[2],
                                    tb[0], tb[1], tb[2], capacity=out)
-            if out >= cap_a + cap_b or int(m[3]) <= out:
-                return (m[0], m[1], m[2], int(m[3])), out
+            n = int(m[3])
+            if out >= cap_a + cap_b or n <= out:
+                t, cap = shrink((m[0], m[1], m[2], n), n, out)
+                return (t[0], t[1], t[2], n), cap
             out *= 2
             if out > max_capacity:
                 max_capacity = out
 
     def insert(t, cap):
+        t, cap = shrink(t, t[3], cap)
         while cap in forest:
             other = forest.pop(cap)
             t, cap = merge_pair(other, cap, t, cap)
