@@ -153,43 +153,67 @@ _pairs_from_buckets = jax.jit(
     _pairs_from_buckets_core, static_argnames=("chunk", "capacity"))
 
 
-@functools.partial(jax.jit, static_argnames=("min_d", "d_hi", "T", "Kp",
-                                             "Spad"))
-def _prep_strip_device(flat, seg_lo, seg_len, sizes, total_subs,
-                       total_pairs, *, min_d: int, d_hi: int, T: int,
-                       Kp: int, Spad: int):
-    """Device-side strip prep: derive the strip's SUB-BUCKET arrays
-    (starts cumsum, const-side k-mer values, iterated-side bases, sides,
-    distances) directly from the (R, T) per-row strip segments — the
-    only per-strip upload is seg_lo/seg_len (~KBs), replacing the
-    host-expanded 5x|sub-buckets| upload (~100s of MBs per strip; the
-    tunnel link, not compute, bounds that path).
+@functools.partial(jax.jit, static_argnames=(
+    "min_d", "d_hi", "T", "Kp", "NZCAP", "NBCAP", "Spad"))
+def _prep_strip_device(flat, seg_packed, sizes_flat, nnz, nb,
+                       total_subs, total_pairs, *, min_d: int,
+                       d_hi: int, T: int, Kp: int, NZCAP: int,
+                       NBCAP: int, Spad: int):
+    """Device-side SPARSE strip prep: derive the strip's SUB-BUCKET
+    arrays from its packed (seg_lo << 16 | seg_len) plane — the only
+    per-strip upload (~1 MB) — enumerating ONLY the (read, unit) cells
+    that hold strip elements, crossed with their valid distances.
 
-    The bucket grid (read r, unit t, distance d) is enumerated in the
-    STATIC order d-major then row-major — identical to the host
-    _strip_buckets enumeration including zero-count buckets, whose
-    boundary deltas coincide and collapse in the scatter+cumsum fills
-    exactly like empty sub-buckets do in the chunk kernel. Outputs feed
+    The dense (r, t, d) grid has R*T*d_hi buckets (~24M at production
+    shape) but only ~3% are populated: a strip holds ~1/n_strips of all
+    cloud entries, so most (r, t) cells carry no strip element at all.
+    The dense formulation paid cumsums and boundary scatters
+    proportional to the FULL grid per strip (~11s on-chip); this one
+    pays proportional to populated cells x valid distances (~30x
+    less). Pipeline: compact nonzero cells (one single-key sort of the
+    (R*T,) plane), expand each by its valid-distance count via the
+    same scatter-delta fill trick at NBCAP, then expand buckets into
+    sub-buckets at Spad exactly as before. Outputs feed
     _pairs_from_buckets unchanged: (starts (Spad+1,), const_vals,
-    base_iter, a_const, dvals)."""
-    R = seg_lo.shape[0]
-    rr = jnp.arange(R, dtype=jnp.int32)[:, None]
-    pa, pn, pba, pbb, pd = [], [], [], [], []
-    for d in range(min_d, d_hi + 1):
-        w = T - d
-        if w <= 0:
-            break
-        tt = jnp.arange(w, dtype=jnp.int32)[None, :]
-        pa.append(seg_len[:, :w].ravel())
-        pn.append(sizes[:, d:].ravel())
-        pba.append((((rr * T + tt) * Kp) + seg_lo[:, :w]).ravel())
-        pbb.append(((rr * T + tt + d) * Kp).ravel())
-        pd.append(jnp.full((R * w,), d, jnp.int32))
-    aseg = jnp.concatenate(pa)
-    nbv = jnp.concatenate(pn)
-    ba = jnp.concatenate(pba)
-    bb = jnp.concatenate(pbb)
-    dv = jnp.concatenate(pd)
+    base_iter, a_const, dvals). Bucket order is (cell-major, d-inner) —
+    any order is valid: every pair is still enumerated exactly once,
+    and the chunk tables sort keys anyway."""
+    RT = seg_packed.shape[0]
+    seg_len_p = seg_packed & jnp.int32(0xFFFF)
+    iota_rt = jnp.arange(RT, dtype=jnp.int32)
+    # compact nonzero-cell indices to the front (stable single-key sort)
+    nzkey = jnp.where(seg_len_p > 0, iota_rt, jnp.int32(RT))
+    if NZCAP > RT:          # tiny planes: pad the sort to NZCAP
+        nzkey = jnp.concatenate(
+            [nzkey, jnp.full((NZCAP - RT,), RT, jnp.int32)])
+    nz_idx = jax.lax.sort(nzkey)[:NZCAP]
+    zvalid = jnp.arange(NZCAP, dtype=jnp.int32) < nnz
+    t_nz = nz_idx % jnp.int32(T)
+    vd = jnp.clip(jnp.minimum(jnp.int32(d_hi), jnp.int32(T - 1) - t_nz)
+                  - jnp.int32(min_d) + 1, 0, None)
+    vd = jnp.where(zvalid, vd, 0)
+    bcum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(vd)])
+    zpos = bcum[1:-1]     # boundaries at/past NBCAP drop in the scatter
+
+    def fill_b(vals):
+        deltas = vals[1:] - vals[:-1]
+        grid = jnp.zeros((NBCAP,), jnp.int32)
+        grid = grid.at[0].add(vals[0])
+        grid = grid.at[zpos].add(deltas, mode="drop")
+        return jnp.cumsum(grid)
+
+    eb = jnp.arange(NBCAP, dtype=jnp.int32)
+    bvalid = eb < nb
+    idx_a = fill_b(nz_idx)
+    d = jnp.int32(min_d) + (eb - fill_b(bcum[:-1]))
+    idx_b = jnp.minimum(idx_a + d, jnp.int32(RT - 1))
+    seg = seg_packed[jnp.where(bvalid, idx_a, 0)]
+    aseg = jnp.where(bvalid, seg & jnp.int32(0xFFFF), 0)
+    alo = seg >> jnp.int32(16)
+    nbv = jnp.where(bvalid, sizes_flat[idx_b], 0)
+    ba = idx_a * jnp.int32(Kp) + alo
+    bb = idx_b * jnp.int32(Kp)
     cnt = aseg * nbv
     nsub = jnp.minimum(aseg, nbv)
     am = (nbv >= aseg).astype(jnp.int32)
@@ -214,7 +238,7 @@ def _prep_strip_device(flat, seg_lo, seg_len, sizes, total_subs,
     st = fill_s(bstart[:-1]) + x * fill_s(ilen)
     bi = fill_s(ibase)
     ac = fill_s(am)
-    dvs = fill_s(dv)
+    dvs = fill_s(jnp.where(bvalid, d, 0))
     pad = e >= total_subs
     st = jnp.where(pad, total_pairs, st)
     cv = jnp.where(pad, 0, cv)
@@ -374,7 +398,11 @@ def _strip_sweep(
     # the check-and-double fallback remains correct if a skewed strip
     # overflows anyway (the no-overflow sync skip disarms itself:
     # total_strip > capacity there by construction).
-    n_strips = max(1, -(-bound // max(capacity * max(dedup_hint, 1), 1)))
+    # 0.94 margin: strips whose raw pair count lands just over capacity
+    # lose the no-overflow proof and pay a host sync per saturated
+    # merge; sizing to 94% keeps the proof for uniform strips
+    n_strips = max(1, -(-bound // max(
+        int(capacity * 0.94) * max(dedup_hint, 1), 1)))
     strip_w = max(1, -(-(max_idx + 1) // n_strips))
     n_strips = max(1, -(-(max_idx + 1) // strip_w))
 
@@ -454,7 +482,9 @@ def _strip_sweep(
     # device round trip each — ~40 ms dispatch on tunneled harnesses,
     # and a pipeline stall anywhere) is provably dead and skipped
     strip_no_ovf = [False]
-    dedup_obs = [None]   # adaptive-striping calibration result
+    dedup_obs = [None]
+    dedup_samples: List[float] = []
+    sweep_grid = [None]  # once-per-sweep device sizes plane + vd counts   # adaptive-striping calibration result
 
     def run_chunk(bufs, c0, total, chunk):
         """One pair-range chunk -> (table, cap). The chunk table covers
@@ -529,6 +559,7 @@ def _strip_sweep(
         # a single strip exceeds int32 pair indexing.
         devgrid = (n_dev == 1 and total_strip < (1 << 31)
                    and total_subs < (1 << 31)
+                   and Kp < (1 << 16)
                    and os.environ.get(
                        "CENTROFLYE_NO_DEVGRID") != "1")
         nb_buckets = sum(R * max(0, T - d) for d in range(
@@ -604,17 +635,30 @@ def _strip_sweep(
             if devgrid:
                 t0 = time.perf_counter()
                 Spad = _next_pow2(total_subs)
+                if sweep_grid[0] is None:
+                    # once per sweep: sizes plane on device + host
+                    # valid-distance counts per unit column
+                    sweep_grid[0] = (
+                        jnp.asarray(np.ascontiguousarray(
+                            sizes.ravel(), dtype=np.int32)),
+                        np.maximum(np.minimum(
+                            d_hi, T - 1 - np.arange(T))
+                            - config.min_distance + 1, 0))
+                sizes_flat_dev, vd_plane = sweep_grid[0]
+                packed = (seg_lo.astype(np.int32) << 16) | \
+                    seg_len.astype(np.int32)
+                nzmask = seg_len > 0
+                nnz = int(nzmask.sum())
+                nb = int((nzmask * vd_plane[None, :]).sum())
                 bufs = _prep_strip_device(
                     flat_dev,
-                    jnp.asarray(np.ascontiguousarray(
-                        seg_lo, dtype=np.int32)),
-                    jnp.asarray(np.ascontiguousarray(
-                        seg_len, dtype=np.int32)),
-                    jnp.asarray(np.ascontiguousarray(
-                        sizes, dtype=np.int32)),
+                    jnp.asarray(np.ascontiguousarray(packed).ravel()),
+                    sizes_flat_dev,
+                    jnp.int32(nnz), jnp.int32(nb),
                     jnp.int32(total_subs), jnp.int32(total_strip),
                     min_d=config.min_distance, d_hi=d_hi, T=T, Kp=Kp,
-                    Spad=Spad)
+                    NZCAP=_next_pow2(max(nnz, 1)),
+                    NBCAP=_next_pow2(max(nb, 1)), Spad=Spad)
                 if profile:
                     jax.block_until_ready(bufs)
                 ph["expand"] += time.perf_counter() - t0
@@ -720,7 +764,14 @@ def _strip_sweep(
             n_strip = int(jnp.sum(
                 (acc[0] != jnp.uint32(_SENT)).astype(jnp.int32)))
             if n_strip > 0:
-                dedup_obs[0] = max(1.0, total_strip / n_strip)
+                dedup_samples.append(total_strip / n_strip)
+            # median of 3 strips: a single-strip sample is biased (the
+            # lowest i-range holds the lexicographically smallest
+            # k-mers — low-complexity sequence with inflated counts;
+            # observed 2.7x overestimate at production shape)
+            if len(dedup_samples) >= 3:
+                dedup_obs[0] = max(
+                    1.0, sorted(dedup_samples)[len(dedup_samples) // 2])
                 target = int(capacity * max(1.0, 0.75 * dedup_obs[0]))
                 merged, cur = [], None
                 for lo, hi in reversed(work):      # ascending ranges
