@@ -125,22 +125,25 @@ def _pairs_from_buckets_core(flat, starts, const_vals, base_iter, a_const,
     # starts[E] is the end of the range, not a boundary
     bpos = jnp.maximum(starts[1:-1] - c0, 0)
 
-    def fill(vals):
-        """vals: (E,) int32 per-bucket -> (chunk,) int32 vals[e(p)]."""
-        deltas = vals[1:] - vals[:-1]
-        grid = jnp.zeros((chunk,), jnp.int32)
-        grid = grid.at[0].add(vals[0])
-        grid = grid.at[bpos].add(deltas, mode="drop")
-        return jnp.cumsum(grid)
-
-    st = fill(starts[:-1])
+    # one multi-column scatter + one 2D cumsum instead of five
+    # independent fills: the boundary positions are shared, and the
+    # scatter/scan cost is dominated by the index handling, not the
+    # payload width
+    vals5 = jnp.stack(
+        [starts[:-1], base_iter, const_vals, a_const, dvals], axis=1)
+    deltas5 = vals5[1:] - vals5[:-1]
+    grid5 = jnp.zeros((chunk, 5), jnp.int32)
+    grid5 = grid5.at[0].add(vals5[0])
+    grid5 = grid5.at[bpos].add(deltas5, mode="drop")
+    f5 = jnp.cumsum(grid5, axis=0)
+    st = f5[:, 0]
     y = p - st
-    g = flat[jnp.maximum(fill(base_iter) + y, 0)]   # iterated side
-    c = fill(const_vals)                            # constant side
-    fa = fill(a_const)
+    g = flat[jnp.maximum(f5[:, 1] + y, 0)]          # iterated side
+    c = f5[:, 2]                                    # constant side
+    fa = f5[:, 3]
     a = jnp.where(fa == 1, c, g)
     b = jnp.where(fa == 1, g, c)
-    dv = fill(dvals).astype(jnp.uint32)
+    dv = f5[:, 4].astype(jnp.uint32)
     valid = (p < total) & (a != b)
     hi = jnp.where(valid, a.astype(jnp.uint32), jnp.uint32(_SENT))
     lo = jnp.where(
@@ -196,17 +199,17 @@ def _prep_strip_device(flat, seg_packed, sizes_flat, nnz, nb,
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(vd)])
     zpos = bcum[1:-1]     # boundaries at/past NBCAP drop in the scatter
 
-    def fill_b(vals):
-        deltas = vals[1:] - vals[:-1]
-        grid = jnp.zeros((NBCAP,), jnp.int32)
-        grid = grid.at[0].add(vals[0])
-        grid = grid.at[zpos].add(deltas, mode="drop")
-        return jnp.cumsum(grid)
+    vals2 = jnp.stack([nz_idx, bcum[:-1]], axis=1)
+    deltas2 = vals2[1:] - vals2[:-1]
+    grid2 = jnp.zeros((NBCAP, 2), jnp.int32)
+    grid2 = grid2.at[0].add(vals2[0])
+    grid2 = grid2.at[zpos].add(deltas2, mode="drop")
+    f2 = jnp.cumsum(grid2, axis=0)
 
     eb = jnp.arange(NBCAP, dtype=jnp.int32)
     bvalid = eb < nb
-    idx_a = fill_b(nz_idx)
-    d = jnp.int32(min_d) + (eb - fill_b(bcum[:-1]))
+    idx_a = f2[:, 0]
+    d = jnp.int32(min_d) + (eb - f2[:, 1])
     idx_b = jnp.minimum(idx_a + d, jnp.int32(RT - 1))
     seg = seg_packed[jnp.where(bvalid, idx_a, 0)]
     aseg = jnp.where(bvalid, seg & jnp.int32(0xFFFF), 0)
@@ -225,20 +228,22 @@ def _prep_strip_device(flat, seg_packed, sizes_flat, nnz, nb,
     sstart = jnp.concatenate([z1, jnp.cumsum(nsub)])
     spos = sstart[1:-1]              # sub-space bucket boundaries
 
-    def fill_s(vals):
-        deltas = vals[1:] - vals[:-1]
-        grid = jnp.zeros((Spad,), jnp.int32)
-        grid = grid.at[0].add(vals[0])
-        grid = grid.at[spos].add(deltas, mode="drop")
-        return jnp.cumsum(grid)
+    vals7 = jnp.stack(
+        [sstart[:-1], cbase, bstart[:-1], ilen, ibase, am,
+         jnp.where(bvalid, d, 0)], axis=1)
+    deltas7 = vals7[1:] - vals7[:-1]
+    grid7 = jnp.zeros((Spad, 7), jnp.int32)
+    grid7 = grid7.at[0].add(vals7[0])
+    grid7 = grid7.at[spos].add(deltas7, mode="drop")
+    f7 = jnp.cumsum(grid7, axis=0)
 
     e = jnp.arange(Spad, dtype=jnp.int32)
-    x = e - fill_s(sstart[:-1])
-    cv = flat[jnp.maximum(fill_s(cbase) + x, 0)]
-    st = fill_s(bstart[:-1]) + x * fill_s(ilen)
-    bi = fill_s(ibase)
-    ac = fill_s(am)
-    dvs = fill_s(jnp.where(bvalid, d, 0))
+    x = e - f7[:, 0]
+    cv = flat[jnp.maximum(f7[:, 1] + x, 0)]
+    st = f7[:, 2] + x * f7[:, 3]
+    bi = f7[:, 4]
+    ac = f7[:, 5]
+    dvs = f7[:, 6]
     pad = e >= total_subs
     st = jnp.where(pad, total_pairs, st)
     cv = jnp.where(pad, 0, cv)
