@@ -997,20 +997,69 @@ def _filter_table_device(uhi, ulo, cnt, min_cov, num, den, rel,
     return out_id, out_j, out_c, n_keep
 
 
-@jax.jit
-def _mark_endpoints(seen, out_id, out_j, n_keep):
-    """OR surviving-edge endpoint k-mer indices into a per-index uint8
-    flag array ON DEVICE. This makes the unique-k-mer set (the only
-    product the assembly consumes downstream — the edge list itself is
-    an artifact, reference distance_based_kmer_recruitment.py:158-171)
-    independent of edge materialization: the readback for the k-mer set
-    is len(rare) bytes once per run instead of 12 bytes per edge."""
-    is_e = jnp.arange(out_id.shape[0], dtype=jnp.int32) < n_keep
-    i_idx = jnp.where(is_e, out_id >> jnp.uint32(8), jnp.uint32(_SENT))
-    j_idx = jnp.where(is_e, out_j, jnp.uint32(_SENT))
+@functools.partial(jax.jit, static_argnames=("use_frac",))
+def _filter_keep_mask(seen, uhi, ulo, cnt, min_cov, num, den, rel,
+                      *, use_frac: bool):
+    """Phase A of the strip filter: the distance-consistency KEEP mask
+    (same math as _filter_table_device) plus the endpoint flags of
+    surviving edges scattered straight into `seen` — the unique-k-mer
+    set never depends on edge materialization. No sort: scans and one
+    masked scatter over the table. Returns (seen, keep, n_keep)."""
+    valid = uhi != SENTINEL
+    j = ulo >> jnp.uint32(8)
+    gstart = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (uhi[1:] != uhi[:-1]) | (j[1:] != j[:-1])]) & valid
+    cnt_v = jnp.where(valid, cnt, 0)
+    L = uhi.shape[0]
+    iota = jnp.arange(L, dtype=jnp.int32)
+    csum = jnp.cumsum(cnt_v.astype(jnp.uint32))
+    gend = (jnp.concatenate([gstart[1:], jnp.zeros((1,), jnp.bool_)])
+            & valid) | (valid & ~jnp.concatenate(
+                [valid[1:], jnp.zeros((1,), jnp.bool_)]))
+    start_pos = jax.lax.cummax(jnp.where(gstart, iota, 0))
+    end_pos = jax.lax.cummin(jnp.where(gend, iota, L - 1), reverse=True)
+    all_occ = (csum[end_pos]
+               - jnp.where(start_pos > 0,
+                           csum[jnp.maximum(start_pos - 1, 0)],
+                           jnp.uint32(0))).astype(jnp.int32)
+    if use_frac:
+        ok_rel = cnt_v * den >= all_occ * num
+    else:
+        ok_rel = cnt_v.astype(jnp.float32) >= \
+            rel * all_occ.astype(jnp.float32)
+    keep = valid & (cnt_v >= min_cov) & ok_rel
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    i_idx = jnp.where(keep, uhi, jnp.uint32(_SENT))
+    j_idx = jnp.where(keep, j, jnp.uint32(_SENT))
     seen = seen.at[i_idx].max(jnp.uint8(1), mode="drop")
     seen = seen.at[j_idx].max(jnp.uint8(1), mode="drop")
-    return seen
+    return seen, keep, n_keep
+
+
+@functools.partial(jax.jit, static_argnames=("out_small",))
+def _compact_edges_small(uhi, ulo, cnt, keep, n_keep, *,
+                         out_small: int):
+    """Phase B: compact up to `out_small` kept rows with ONE single-key
+    uint32 sort ((dropped << 31) | iota — iota makes it order-preserving)
+    plus a bounded gather, instead of a 4-array stable sort at full
+    table capacity (~4s at 2^26 on-chip; this is ~0.3s). Exact whenever
+    n_keep <= out_small; the caller falls back to the full-capacity
+    compaction otherwise (production strips keep a few thousand edges —
+    the fallback is for synthetic high-survival workloads)."""
+    L = uhi.shape[0]
+    os_ = min(out_small, L)
+    iota = jnp.arange(L, dtype=jnp.uint32)
+    skey = jnp.where(keep, iota, iota | jnp.uint32(1 << 31))
+    perm = (jax.lax.sort(skey)[:os_]
+            & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    s_id = (uhi[perm] << jnp.uint32(8)) | (ulo[perm] & jnp.uint32(0xFF))
+    s_j = ulo[perm] >> jnp.uint32(8)
+    s_c = cnt[perm]
+    is_e = jnp.arange(os_, dtype=jnp.int32) < n_keep
+    return (jnp.where(is_e, s_id, jnp.uint32(_SENT)),
+            jnp.where(is_e, s_j, jnp.uint32(_SENT)),
+            jnp.where(is_e, s_c, 0))
 
 
 def _rel_fraction(rel: float):
@@ -1034,6 +1083,7 @@ def recruit_unique_kmers(
     max_capacity: int = 1 << 27,
     mesh=None,
     return_edges: bool = True,
+    out_small: Optional[int] = None,
 ) -> Tuple[np.ndarray, DistanceEdges]:
     """End-to-end: strip-swept distance table -> per-strip ON-DEVICE
     filter -> unique k-mer codes (sorted uint64) + surviving edges.
@@ -1051,11 +1101,27 @@ def recruit_unique_kmers(
     import concurrent.futures as _cf
     futures = []
     seen = jnp.zeros(max(len(rare_codes), 1), jnp.uint8)
+    if out_small is None:
+        out_small = max(edge_capacity, 1 << 20)
 
-    def materialize(oid, oj, oc, n_keep):
+    def materialize(oid, oj, oc, n_keep, full_args):
         nk = int(n_keep)          # device scalar sync, on this thread
         if nk == 0:
             return None
+        if nk > oid.shape[0]:
+            # small compaction truncated (synthetic high-survival
+            # workloads) — re-run the exact full-capacity path on the
+            # retained table refs; production strips keep a few
+            # thousand edges and never come here
+            uhi_f, ulo_f, cnt_f, cap_f = full_args
+            logger.info(
+                "strip edges %d exceed fast-path bound %d — "
+                "full compaction fallback", nk, oid.shape[0])
+            oid, oj, oc, _ = _filter_table_device(
+                uhi_f, ulo_f, cnt_f, jnp.int32(config.min_coverage),
+                jnp.int32(num), jnp.int32(den),
+                jnp.float32(config.rel_threshold),
+                use_frac=exact, out_capacity=max(cap_f, _next_pow2(nk)))
         oid_h = np.asarray(oid[:nk]).astype(np.int64)
         return (oid_h >> 8,
                 np.asarray(oj[:nk]).astype(np.int64),
@@ -1075,19 +1141,20 @@ def recruit_unique_kmers(
                 mesh=mesh):
             if n == 0:
                 continue
-            # surviving edges never exceed the strip table's capacity,
-            # so out_capacity = cap guarantees ONE filter pass with no
-            # host sync; only the [:n_keep] slice crosses to host
-            out_cap = max(cap, edge_capacity)
-            oid, oj, oc, n_keep = _filter_table_device(
-                uhi, ulo, cnt, jnp.int32(config.min_coverage),
+            # phase A: keep mask + endpoint flags (scans + one masked
+            # scatter — no sort); phase B compacts at a small bound
+            # with a single-key sort (the full-capacity 4-array sort
+            # cost ~4s/strip at 2^26 and dominated the sweep)
+            seen, keep, n_keep = _filter_keep_mask(
+                seen, uhi, ulo, cnt, jnp.int32(config.min_coverage),
                 jnp.int32(num), jnp.int32(den),
-                jnp.float32(config.rel_threshold),
-                use_frac=exact, out_capacity=out_cap)
-            seen = _mark_endpoints(seen, oid, oj, n_keep)
+                jnp.float32(config.rel_threshold), use_frac=exact)
             if return_edges:
+                oid, oj, oc = _compact_edges_small(
+                    uhi, ulo, cnt, keep, n_keep, out_small=out_small)
                 futures.append(ex.submit(
-                    materialize, oid, oj, oc, n_keep))
+                    materialize, oid, oj, oc, n_keep,
+                    (uhi, ulo, cnt, cap)))
                 if len(futures) > 2:
                     futures[-3].result()
         parts = [p for p in (f.result() for f in futures)

@@ -393,6 +393,34 @@ def test_adaptive_striping_high_dedup(rng):
     assert got_a == got_na
 
 
+def test_edge_compaction_fallback(rng):
+    """When a strip keeps more edges than the fast-path bound, the
+    background materializer must fall back to the exact full-capacity
+    compaction — identical results, nothing truncated."""
+    R, T, Kc = 10, 6, 12
+    n_kmers = 200
+    per_pos = [np.sort(rng.choice(n_kmers, size=Kc, replace=False))
+               for _ in range(T)]
+    tensor = np.stack([np.stack(per_pos)] * R).astype(np.int32)
+    n_units = np.full(R, T, np.int32)
+    cfg = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=4,
+                                min_coverage=3)
+    rare_fake = np.arange(n_kmers, dtype=np.uint64)
+    uniq_ref, edges_ref = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg, capacity=1 << 10,
+        entry_chunk=128)
+    assert len(edges_ref.i) > 8
+    uniq_fb, edges_fb = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg, capacity=1 << 10,
+        entry_chunk=128, out_small=4)     # force the fallback
+    assert np.array_equal(uniq_fb, uniq_ref)
+    ref = {(int(a), int(b), int(d)): int(f) for a, b, d, f in
+           zip(edges_ref.i, edges_ref.j, edges_ref.dist, edges_ref.freq)}
+    fb = {(int(a), int(b), int(d)): int(f) for a, b, d, f in
+          zip(edges_fb.i, edges_fb.j, edges_fb.dist, edges_fb.freq)}
+    assert fb == ref
+
+
 def test_distance_table_uncanonical_rows(rng):
     """Cloud rows that arrive unsorted and with -1 holes in the middle
     must count identically to canonical (sorted, valid-front) rows: the
