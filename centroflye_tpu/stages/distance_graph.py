@@ -337,7 +337,7 @@ def _strip_sweep(
     tile_a: int = 8,                  # back-compat, unused: pair
     tile_b: int = 32,                 # emission is exact, not tiled
     entry_chunk: Optional[int] = None,
-    element_budget: int = 32 << 20,
+    element_budget: int = 63 << 20,
     strip_capacity: int = 1 << 26,
     subbucket_budget: int = 8 << 20,
     dedup_hint: int = 1,
@@ -1011,18 +1011,23 @@ def _filter_keep_mask(seen, uhi, ulo, cnt, min_cov, num, den, rel,
         jnp.ones((1,), jnp.bool_),
         (uhi[1:] != uhi[:-1]) | (j[1:] != j[:-1])]) & valid
     cnt_v = jnp.where(valid, cnt, 0)
-    L = uhi.shape[0]
-    iota = jnp.arange(L, dtype=jnp.int32)
     csum = jnp.cumsum(cnt_v.astype(jnp.uint32))
     gend = (jnp.concatenate([gstart[1:], jnp.zeros((1,), jnp.bool_)])
             & valid) | (valid & ~jnp.concatenate(
                 [valid[1:], jnp.zeros((1,), jnp.bool_)]))
-    start_pos = jax.lax.cummax(jnp.where(gstart, iota, 0))
-    end_pos = jax.lax.cummin(jnp.where(gend, iota, L - 1), reverse=True)
-    all_occ = (csum[end_pos]
-               - jnp.where(start_pos > 0,
-                           csum[jnp.maximum(start_pos - 1, 0)],
-                           jnp.uint32(0))).astype(jnp.int32)
+    # group totals WITHOUT positional gathers (2x 67M random gathers
+    # cost ~1.4s on-chip; two scans cost ~0.3s): csum is nondecreasing,
+    # so the nearest marked value to the RIGHT is the reverse running
+    # MIN over (gend ? csum : U32_MAX), and the nearest marked csum
+    # STRICTLY LEFT of the group is the forward running MAX over
+    # (gstart ? csum_prev : 0)
+    csum_prev = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint32), csum[:-1]])
+    v_end = jax.lax.cummin(
+        jnp.where(gend, csum, jnp.uint32(0xFFFFFFFF)), reverse=True)
+    v_start = jax.lax.cummax(
+        jnp.where(gstart, csum_prev, jnp.uint32(0)))
+    all_occ = (v_end - v_start).astype(jnp.int32)
     if use_frac:
         ok_rel = cnt_v * den >= all_occ * num
     else:
@@ -1030,6 +1035,7 @@ def _filter_keep_mask(seen, uhi, ulo, cnt, min_cov, num, den, rel,
             rel * all_occ.astype(jnp.float32)
     keep = valid & (cnt_v >= min_cov) & ok_rel
     n_keep = jnp.sum(keep.astype(jnp.int32))
+    j = ulo >> jnp.uint32(8)
     i_idx = jnp.where(keep, uhi, jnp.uint32(_SENT))
     j_idx = jnp.where(keep, j, jnp.uint32(_SENT))
     seen = seen.at[i_idx].max(jnp.uint8(1), mode="drop")
