@@ -156,6 +156,172 @@ _pairs_from_buckets = jax.jit(
     _pairs_from_buckets_core, static_argnames=("chunk", "capacity"))
 
 
+def _sorted_pairs_core(flat, starts, const_vals, base_iter, a_const,
+                       dvals, total, *, chunk: int):
+    """RAW-PAIR fast path: enumerate one whole strip's pairs (same
+    sub-bucket machinery as _pairs_from_buckets_core with c0 = 0) and
+    2-key sort them — NO count table, NO merge forest. When a strip
+    fits one chunk (the production default: strips are sized under the
+    chunk budget), per-key counts are simply RUN LENGTHS of the sorted
+    stream, so the consumer's filter reads counts off nearest-boundary
+    scans (_count_filter_sorted) and the whole count_unique +
+    compaction + merge apparatus (two extra multi-array sorts per
+    chunk plus table folds) disappears. Returns (hi, lo) sorted
+    ascending, SENTINEL rows (invalid/pad) sorted to the back."""
+    p = jnp.arange(chunk, dtype=jnp.int32)
+    bpos = jnp.maximum(starts[1:-1], 0)
+    vals5 = jnp.stack(
+        [starts[:-1], base_iter, const_vals, a_const, dvals], axis=1)
+    deltas5 = vals5[1:] - vals5[:-1]
+    grid5 = jnp.zeros((chunk, 5), jnp.int32)
+    grid5 = grid5.at[0].add(vals5[0])
+    grid5 = grid5.at[bpos].add(deltas5, mode="drop")
+    f5 = jnp.cumsum(grid5, axis=0)
+    st = f5[:, 0]
+    y = p - st
+    g = flat[jnp.maximum(f5[:, 1] + y, 0)]          # iterated side
+    c = f5[:, 2]                                    # constant side
+    fa = f5[:, 3]
+    a = jnp.where(fa == 1, c, g)
+    b = jnp.where(fa == 1, g, c)
+    dv = f5[:, 4].astype(jnp.uint32)
+    valid = (p < total) & (a != b)
+    hi = jnp.where(valid, a.astype(jnp.uint32), jnp.uint32(_SENT))
+    lo = jnp.where(
+        valid, (b.astype(jnp.uint32) << jnp.uint32(8)) | dv,
+        jnp.uint32(_SENT))
+    return jax.lax.sort((hi, lo), num_keys=2)
+
+
+_sorted_pairs = jax.jit(_sorted_pairs_core, static_argnames=("chunk",))
+
+
+@functools.partial(jax.jit, static_argnames=("use_frac", "out_small"))
+def _count_filter_sorted(seen, hi, lo, min_cov, num, den, rel,
+                         *, use_frac: bool, out_small: int):
+    """Count + distance-consistency filter directly on a strip's SORTED
+    raw pair stream (reference distance_based_kmer_recruitment.py:
+    111-149 semantics): count(i, j, d) is the run length of identical
+    (hi, lo) keys, all_occ(i, j) the (i, j)-group length — both read
+    off nearest-boundary scans over positions, no csum and no gathers.
+    Surviving-edge endpoints scatter straight into `seen`; edges
+    compact through one single-key order-preserving sort + a bounded
+    gather (the full-size fallback lives in the caller). Returns
+    (seen, s_id, s_j, s_c, n_keep) with edges packed as
+    ((i << 8) | d, j, count)."""
+    valid = hi != jnp.uint32(_SENT)
+    L = hi.shape[0]
+    iota = jnp.arange(L, dtype=jnp.int32)
+    knew = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
+    kstart = knew & valid
+    kend = (jnp.concatenate([knew[1:], jnp.ones((1,), jnp.bool_)])
+            & valid)
+    jj = lo >> jnp.uint32(8)
+    gnew = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (hi[1:] != hi[:-1]) | (jj[1:] != jj[:-1])])
+    gstart = gnew & valid
+    gend = (jnp.concatenate([gnew[1:], jnp.ones((1,), jnp.bool_)])
+            & valid)
+    # nearest boundary positions: iota is strictly increasing, so the
+    # nearest mark right/left is a reverse-cummin / forward-cummax
+    pos_kend = jax.lax.cummin(
+        jnp.where(kend, iota, jnp.int32(0x7FFFFFFF)), reverse=True)
+    pos_kstart = jax.lax.cummax(jnp.where(kstart, iota, 0))
+    pos_gend = jax.lax.cummin(
+        jnp.where(gend, iota, jnp.int32(0x7FFFFFFF)), reverse=True)
+    pos_gstart = jax.lax.cummax(jnp.where(gstart, iota, 0))
+    cntd = pos_kend - pos_kstart + 1
+    all_occ = pos_gend - pos_gstart + 1
+    if use_frac:
+        ok_rel = cntd * den >= all_occ * num
+    else:
+        ok_rel = cntd.astype(jnp.float32) >= \
+            rel * all_occ.astype(jnp.float32)
+    keep = kstart & (cntd >= min_cov) & ok_rel
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    os_ = min(out_small, L)
+    iota_u = iota.astype(jnp.uint32)
+    skey = jnp.where(keep, iota_u, iota_u | jnp.uint32(1 << 31))
+    perm = (jax.lax.sort(skey)[:os_]
+            & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    s_id = (hi[perm] << jnp.uint32(8)) | (lo[perm] & jnp.uint32(0xFF))
+    s_j = jj[perm]
+    s_c = cntd[perm]
+    is_e = jnp.arange(os_, dtype=jnp.int32) < n_keep
+    s_id = jnp.where(is_e, s_id, jnp.uint32(_SENT))
+    s_j = jnp.where(is_e, s_j, jnp.uint32(_SENT))
+    s_c = jnp.where(is_e, s_c, 0)
+
+    def seen_small(sn):
+        i_idx = jnp.where(is_e, s_id >> jnp.uint32(8),
+                          jnp.uint32(_SENT))
+        sn = sn.at[i_idx].max(jnp.uint8(1), mode="drop")
+        return sn.at[jnp.where(is_e, s_j, jnp.uint32(_SENT))].max(
+            jnp.uint8(1), mode="drop")
+
+    def seen_full(sn):
+        i_idx = jnp.where(keep, hi, jnp.uint32(_SENT))
+        sn = sn.at[i_idx].max(jnp.uint8(1), mode="drop")
+        return sn.at[jnp.where(keep, jj, jnp.uint32(_SENT))].max(
+            jnp.uint8(1), mode="drop")
+
+    seen = jax.lax.cond(n_keep <= jnp.int32(os_), seen_small,
+                        seen_full, seen)
+    return seen, s_id, s_j, s_c, n_keep
+
+
+@functools.partial(jax.jit, static_argnames=("use_frac",))
+def _compact_edges_full_sorted(hi, lo, min_cov, num, den, rel,
+                               *, use_frac: bool):
+    """Exact full-size edge compaction for a RAW strip whose edge count
+    exceeded the fast-path bound (synthetic high-survival workloads):
+    recompute cntd/keep with the same scans, then front-sort the whole
+    stream with payloads. Runs on the background materialize thread
+    only when needed."""
+    valid = hi != jnp.uint32(_SENT)
+    L = hi.shape[0]
+    iota = jnp.arange(L, dtype=jnp.int32)
+    knew = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
+    kstart = knew & valid
+    kend = (jnp.concatenate([knew[1:], jnp.ones((1,), jnp.bool_)])
+            & valid)
+    jj = lo >> jnp.uint32(8)
+    gnew = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (hi[1:] != hi[:-1]) | (jj[1:] != jj[:-1])])
+    gstart = gnew & valid
+    gend = (jnp.concatenate([gnew[1:], jnp.ones((1,), jnp.bool_)])
+            & valid)
+    pos_kend = jax.lax.cummin(
+        jnp.where(kend, iota, jnp.int32(0x7FFFFFFF)), reverse=True)
+    pos_kstart = jax.lax.cummax(jnp.where(kstart, iota, 0))
+    pos_gend = jax.lax.cummin(
+        jnp.where(gend, iota, jnp.int32(0x7FFFFFFF)), reverse=True)
+    pos_gstart = jax.lax.cummax(jnp.where(gstart, iota, 0))
+    cntd = pos_kend - pos_kstart + 1
+    all_occ = pos_gend - pos_gstart + 1
+    if use_frac:
+        ok_rel = cntd * den >= all_occ * num
+    else:
+        ok_rel = cntd.astype(jnp.float32) >= \
+            rel * all_occ.astype(jnp.float32)
+    keep = kstart & (cntd >= min_cov) & ok_rel
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    front = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
+    packed = (hi << jnp.uint32(8)) | (lo & jnp.uint32(0xFF))
+    _, s_id, s_j, s_c = jax.lax.sort(
+        (front, packed, jj, cntd), num_keys=1, is_stable=True)
+    is_e = iota < n_keep
+    return (jnp.where(is_e, s_id, jnp.uint32(_SENT)),
+            jnp.where(is_e, s_j, jnp.uint32(_SENT)),
+            jnp.where(is_e, s_c, 0), n_keep)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "min_d", "d_hi", "T", "Kp", "NZCAP", "NBCAP", "Spad"))
 def _prep_strip_device(flat, seg_packed, sizes_flat, nnz, nb,
@@ -344,6 +510,7 @@ def _strip_sweep(
     max_capacity: int = 1 << 27,
     mesh=None,
     adaptive: bool = True,
+    yield_raw: bool = False,
 ):
     """Yield one sorted (i, j, d) -> count device table per i-range strip,
     strips in ascending i order (so concatenating valid prefixes yields
@@ -701,6 +868,31 @@ def _strip_sweep(
                 ph["upload"] += time.perf_counter() - t0
                 yield bufs, total_seg
 
+        # RAW fast path: a strip that fits one chunk skips the count
+        # table, merge forest and overflow machinery entirely — the
+        # consumer reads counts as run lengths of the sorted stream
+        # (_count_filter_sorted). Yield contract: cnt is None marks a
+        # raw strip (hi, lo, None, -1, total_pairs).
+        if yield_raw and devgrid and total_strip <= entry_chunk:
+            for bufs, total_seg in iter_segments():
+                size = min(max(tail_chunk, _next_pow2(total_seg)),
+                           entry_chunk)
+                t0 = time.perf_counter()
+                rhi, rlo = _sorted_pairs(
+                    flat_dev, *bufs, jnp.int32(total_seg), chunk=size)
+                if profile:
+                    jax.block_until_ready((rhi, rlo))
+                ph["chunks"] += time.perf_counter() - t0
+            logger.info(
+                "distance strip [%d, %d): %d pairs / %d buckets "
+                "(%d sub-buckets) raw, %.1fs submit%s",
+                s_lo, s_hi, total_strip, nb_buckets, n_subs_log,
+                time.perf_counter() - t_strip,
+                " [expand %.1fs chunks %.1fs]" % (
+                    ph["expand"], ph["chunks"]) if profile else "")
+            yielded = True
+            yield rhi, rlo, None, -1, total_strip
+            continue
         try:
             for bufs, total_seg in iter_segments():
                 pos = 0
@@ -1110,24 +1302,19 @@ def recruit_unique_kmers(
     if out_small is None:
         out_small = max(edge_capacity, 1 << 20)
 
-    def materialize(oid, oj, oc, n_keep, full_args):
+    def materialize(oid, oj, oc, n_keep, fallback):
         nk = int(n_keep)          # device scalar sync, on this thread
         if nk == 0:
             return None
         if nk > oid.shape[0]:
             # small compaction truncated (synthetic high-survival
-            # workloads) — re-run the exact full-capacity path on the
-            # retained table refs; production strips keep a few
-            # thousand edges and never come here
-            uhi_f, ulo_f, cnt_f, cap_f = full_args
+            # workloads) — re-run the exact full-size path on the
+            # retained refs; production strips keep a few thousand
+            # edges and never come here
             logger.info(
                 "strip edges %d exceed fast-path bound %d — "
                 "full compaction fallback", nk, oid.shape[0])
-            oid, oj, oc, _ = _filter_table_device(
-                uhi_f, ulo_f, cnt_f, jnp.int32(config.min_coverage),
-                jnp.int32(num), jnp.int32(den),
-                jnp.float32(config.rel_threshold),
-                use_frac=exact, out_capacity=max(cap_f, _next_pow2(nk)))
+            oid, oj, oc = fallback(nk)
         oid_h = np.asarray(oid[:nk]).astype(np.int64)
         return (oid_h >> 8,
                 np.asarray(oj[:nk]).astype(np.int64),
@@ -1139,28 +1326,52 @@ def recruit_unique_kmers(
     # host prep + device sweep proceed — the link, not compute, bounds
     # edge-heavy workloads. Throttled to 2 strips in flight so device
     # tables don't pile up in HBM.
+    mc = jnp.int32(config.min_coverage)
+    fnum, fden = jnp.int32(num), jnp.int32(den)
+    frel = jnp.float32(config.rel_threshold)
     with _cf.ThreadPoolExecutor(max_workers=1) as ex:
         for uhi, ulo, cnt, n, cap in _strip_sweep(
                 clouds_tensor, n_units, config,
                 capacity=capacity, entry_chunk=entry_chunk,
                 dedup_hint=dedup_hint, max_capacity=max_capacity,
-                mesh=mesh):
+                mesh=mesh, yield_raw=True):
             if n == 0:
                 continue
-            # phase A: keep mask + endpoint flags (scans + one masked
-            # scatter — no sort); phase B compacts at a small bound
-            # with a single-key sort (the full-capacity 4-array sort
-            # cost ~4s/strip at 2^26 and dominated the sweep)
+            if cnt is None:
+                # RAW strip: counts are run lengths of the sorted pair
+                # stream; one fused count+filter+compact kernel
+                seen, oid, oj, oc, n_keep = _count_filter_sorted(
+                    seen, uhi, ulo, mc, fnum, fden, frel,
+                    use_frac=exact, out_small=out_small)
+                if return_edges:
+                    def fb_raw(nk, _hi=uhi, _lo=ulo):
+                        o1, o2, o3, _ = _compact_edges_full_sorted(
+                            _hi, _lo, mc, fnum, fden, frel,
+                            use_frac=exact)
+                        return o1, o2, o3
+                    futures.append(ex.submit(
+                        materialize, oid, oj, oc, n_keep, fb_raw))
+                    if len(futures) > 2:
+                        futures[-3].result()
+                continue
+            # TABLE strip (multi-chunk / mesh / overflow-split paths):
+            # phase A keep mask + endpoint flags (scans + one masked
+            # scatter), phase B small compaction
             seen, keep, n_keep = _filter_keep_mask(
-                seen, uhi, ulo, cnt, jnp.int32(config.min_coverage),
-                jnp.int32(num), jnp.int32(den),
-                jnp.float32(config.rel_threshold), use_frac=exact)
+                seen, uhi, ulo, cnt, mc, fnum, fden, frel,
+                use_frac=exact)
             if return_edges:
                 oid, oj, oc = _compact_edges_small(
                     uhi, ulo, cnt, keep, n_keep, out_small=out_small)
+
+                def fb_table(nk, _t=(uhi, ulo, cnt, cap)):
+                    o1, o2, o3, _ = _filter_table_device(
+                        _t[0], _t[1], _t[2], mc, fnum, fden, frel,
+                        use_frac=exact,
+                        out_capacity=max(_t[3], _next_pow2(nk)))
+                    return o1, o2, o3
                 futures.append(ex.submit(
-                    materialize, oid, oj, oc, n_keep,
-                    (uhi, ulo, cnt, cap)))
+                    materialize, oid, oj, oc, n_keep, fb_table))
                 if len(futures) > 2:
                     futures[-3].result()
         parts = [p for p in (f.result() for f in futures)

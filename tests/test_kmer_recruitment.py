@@ -393,6 +393,43 @@ def test_adaptive_striping_high_dedup(rng):
     assert got_a == got_na
 
 
+def test_raw_vs_table_strip_paths(rng):
+    """The raw sorted-pair fast path (strip fits one chunk: counts =
+    run lengths, no count table) must produce identical unique k-mers
+    and edges to the table path, including with the truncated-edge
+    fallback forced."""
+    R, T, Kc = 14, 7, 10
+    n_kmers = 250
+    per_pos = [np.sort(rng.choice(n_kmers, size=Kc, replace=False))
+               for _ in range(T)]
+    tensor = np.stack([np.stack(per_pos)] * R).astype(np.int32)
+    mask = rng.random(tensor.shape) < 0.25
+    tensor[mask] = -1
+    tensor = np.sort(tensor, axis=2)[:, :, ::-1]
+    tensor = np.ascontiguousarray(tensor[:, :, ::-1])
+    n_units = np.full(R, T, np.int32)
+    cfg = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=5,
+                                min_coverage=3)
+    rare_fake = np.arange(n_kmers, dtype=np.uint64)
+
+    def run(**kw):
+        u, e = recruit_unique_kmers(
+            tensor, n_units, rare_fake, cfg, capacity=1 << 11, **kw)
+        d = {(int(a), int(b), int(dd)): int(f) for a, b, dd, f in
+             zip(e.i, e.j, e.dist, e.freq)}
+        return set(int(x) for x in u), d
+
+    # big chunk: every strip takes the raw path
+    u_raw, e_raw = run(entry_chunk=1 << 16)
+    # tiny chunk: every strip takes the table path
+    u_tab, e_tab = run(entry_chunk=64)
+    assert u_raw == u_tab
+    assert e_raw == e_tab
+    # raw path with forced truncation fallback
+    u_fb, e_fb = run(entry_chunk=1 << 16, out_small=4)
+    assert u_fb == u_raw and e_fb == e_raw
+
+
 def test_edge_compaction_fallback(rng):
     """When a strip keeps more edges than the fast-path bound, the
     background materializer must fall back to the exact full-capacity
