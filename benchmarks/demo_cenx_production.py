@@ -18,10 +18,13 @@ and the reference's own scripts would fail identically on such input.
 The reference's default kmer-survival-rate 0.34 (centroFlye.py:52)
 corresponds to (1-e)^19 = 0.34, i.e. ~5.5% EFFECTIVE uniform error —
 real ONT error is higher nominally but clustered (homopolymers), so
-5.5% uniform is the rel2-equivalent regime. The default here matches
-it; pass a third argument to explore other noise levels.
+5.5% uniform is the rel2-equivalent regime. `--noise-mode clustered`
+simulates that directly: bursty, homopolymer-biased errors at the
+NOMINAL rate whose k-mer survival matches the uniform-rate equivalent
+(pipeline/simulate.add_read_noise_clustered).
 
 Run: python benchmarks/demo_cenx_production.py [n_units] [coverage] [noise]
+                                               [--noise-mode uniform|clustered]
 Defaults 1500 50 0.055: rel2 is ~50x TOTAL with ~32x on ultra-long
 50kb+ reads (README.md:87; centroFlye.py:31-32 — the reference's
 --coverage 32 counts only 50kb+ reads), at rel2-equivalent error.
@@ -98,30 +101,23 @@ def sample_divergence(assembly, truth, rng, chunk=10_000, n_chunks=32,
     return tot_d, tot_b, per
 
 
-def main():
-    n_units = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
-    coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 50.0
-    noise = float(sys.argv[3]) if len(sys.argv) > 3 else 0.055
-    div_rate = 0.003          # intra-array HOR divergence (~real DXZ1)
-    flank = 200_000           # the reference simulator's default
+def build_world(n_units, coverage, noise, *, seed=7, div_rate=0.003,
+                flank=200_000, noise_mode="uniform"):
+    """Simulate the rel2-shaped world: flanked tandem array + reads.
 
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(name)s: %(message)s")
-    t_all = time.time()
+    Returns (reads dict, sim result, realized total tandem coverage,
+    realized 50kb+ coverage). Seeded — identical inputs across runs."""
     unit = read_seq(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "centroflye_tpu", "data", "DXZ1_rc.fasta"))
-    rng = np.random.default_rng(7)
-    print(f"simulating {n_units}-unit array, coverage {coverage}, "
-          f"noise {noise:.0%}...", flush=True)
+    rng = np.random.default_rng(seed)
     sim = sim_mod.simulate_tandem_repeat(rng, unit, n_units, div_rate,
                                          flank_len=flank)
     g = sim.flanked_tr
     ts, te = flank, flank + len(sim.tr)
 
     # reads: uniform starts over the flanked genome, rel2-like lengths,
-    # random strand, `noise` uniform sub/ins/del error
+    # random strand, `noise` sub/ins/del error
     n_reads = int(coverage * len(g) / 29_000)   # mix mean ~29 kb
     lens = rel2_length_mix(rng, n_reads)
     starts = rng.integers(0, len(g), size=n_reads)
@@ -161,27 +157,50 @@ def main():
     # background-only reads (recruitment reject path)
     for b in range(300):
         reads[f"bg{b:03d}"] = sim_mod.gen_random_seq(rng, 12_000)
-    print(f"{len(reads)} reads, tandem {len(sim.tr):,} bp, realized "
-          f"tandem coverage {cen_bases / len(sim.tr):.1f}x "
-          f"({ul_cen_bases / len(sim.tr):.1f}x on 50kb+ reads)",
-          flush=True)
-    reads = {r: sim_mod.add_read_noise(rng, s, noise)
-             for r, s in reads.items()}
-    realized_cov = cen_bases / len(sim.tr)
-    realized_ul_cov = ul_cen_bases / len(sim.tr)
+    if noise_mode == "clustered":
+        reads = {r: sim_mod.add_read_noise_clustered(rng, s, noise)
+                 for r, s in reads.items()}
+    else:
+        reads = {r: sim_mod.add_read_noise(rng, s, noise)
+                 for r, s in reads.items()}
+    return unit, reads, sim, cen_bases / len(sim.tr), \
+        ul_cen_bases / len(sim.tr)
 
-    tag = f"{n_units}u_c{int(coverage)}_n{int(noise * 100)}"
+
+def run_production(n_units, coverage, noise, *, tag=None, fresh=False,
+                   auto_min_coverage=False, noise_mode="uniform",
+                   save_artifact=True, seed=7):
+    """Simulate + run the full cenX pipeline; return the summary dict
+    (the same one main() prints and persists)."""
+    t_all = time.time()
+    print(f"simulating {n_units}-unit array, coverage {coverage}, "
+          f"noise {noise:.0%} ({noise_mode})...", flush=True)
+    unit, reads, sim, realized_cov, realized_ul_cov = build_world(
+        n_units, coverage, noise, seed=seed, noise_mode=noise_mode)
+    print(f"{len(reads)} reads, tandem {len(sim.tr):,} bp, realized "
+          f"tandem coverage {realized_cov:.1f}x "
+          f"({realized_ul_cov:.1f}x on 50kb+ reads)", flush=True)
+
+    if tag is None:
+        tag = f"{n_units}u_c{int(coverage)}_n{int(noise * 100)}"
+        if noise_mode != "uniform":
+            tag += f"_{noise_mode}"
     simdir, rundir = f"/tmp/cenx_prod_sim_{tag}", f"/tmp/cenx_prod_run_{tag}"
     # the pipeline's skip-if-exists resume lets an interrupted run pick
     # up at the first missing artifact (the simulation is seeded, so
     # re-simulated reads are identical); CENTROFLYE_DEMO_FRESH=1 wipes
-    if os.environ.get("CENTROFLYE_DEMO_FRESH") == "1":
+    if fresh or os.environ.get("CENTROFLYE_DEMO_FRESH") == "1":
         shutil.rmtree(rundir, ignore_errors=True)
     os.makedirs(simdir, exist_ok=True)
     write_seqs(os.path.join(simdir, "reads.fasta"), reads)
     t_sim = time.time() - t_all
 
-    survival = (1.0 - noise) ** 19
+    # effective per-k-mer survival: uniform noise kills a k-mer with any
+    # hit in its 19 bases; clustered mode is calibrated to the same
+    # EFFECTIVE survival at its nominal rate (simulate.py)
+    eff_noise = (sim_mod.clustered_effective_error(noise)
+                 if noise_mode == "clustered" else noise)
+    survival = (1.0 - eff_noise) ** 19
     # the reference's --coverage is the ULTRA-LONG (50kb+) coverage
     # (centroFlye.py:31-32, 32 for rel2) — the rare band and placer
     # calibrate against it, while all recruited reads feed the stages
@@ -191,7 +210,8 @@ def main():
         decomposition=UnitDecompositionConfig(min_record_len=5000),
         kmer_recruitment=KmerRecruitmentConfig(
             k=19, min_distance=1, max_distance=150, min_coverage=4,
-            bottom=0.9, top=3.0, kmer_survival_rate=survival),
+            bottom=0.9, top=3.0, kmer_survival_rate=survival,
+            auto_min_coverage=auto_min_coverage),
         placer=PlacerConfig(),                      # reference defaults
         consensus_unit=ConsensusUnitConfig(k=30),
         polisher=PolisherConfig(num_iters=4))
@@ -199,6 +219,7 @@ def main():
     final = pipe.run(os.path.join(simdir, "reads.fasta"))
     wall = time.time() - t_all
 
+    rng = np.random.default_rng(seed + 1)
     d, b, per_chunk = sample_divergence(final, sim.tr, rng)
     peak_rss_gb = resource.getrusage(
         resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
@@ -207,9 +228,10 @@ def main():
         "shape": {"n_units": n_units, "tandem_bp": len(sim.tr),
                   "coverage": round(realized_cov, 1),
                   "coverage_ul50kb": round(realized_ul_cov, 1),
-                  "noise": noise,
+                  "noise": noise, "noise_mode": noise_mode,
                   "n_reads": len(reads),
                   "read_bp": sum(len(s) for s in reads.values())},
+        "auto_min_coverage": auto_min_coverage,
         "assembly_bp": len(final),
         "truth_bp": len(sim.tr),
         "length_error": round(abs(len(final) - len(sim.tr))
@@ -225,14 +247,33 @@ def main():
                               "(README.md:72-75,121-124)",
     }
     print(json.dumps(summary, indent=2), flush=True)
-    out_fn = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"production_{tag}.json")
-    with open(out_fn, "w") as f:
-        json.dump(summary, f, indent=2)
-    print(f"assembly {len(final):,} bp vs truth {len(sim.tr):,} bp; "
-          f"sampled divergence {div:.4%}; wall {wall:.0f}s; "
-          f"peak RSS {peak_rss_gb:.1f} GB -> {out_fn}", flush=True)
+    if save_artifact:
+        out_fn = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"production_{tag}.json")
+        with open(out_fn, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"assembly {len(final):,} bp vs truth {len(sim.tr):,} bp; "
+              f"sampled divergence {div:.4%}; wall {wall:.0f}s; "
+              f"peak RSS {peak_rss_gb:.1f} GB -> {out_fn}", flush=True)
+    return summary
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    noise_mode = "uniform"
+    argv = sys.argv[1:]
+    if "--noise-mode" in argv:
+        noise_mode = argv[argv.index("--noise-mode") + 1]
+    auto = "--auto-min-coverage" in argv
+    n_units = int(args[0]) if len(args) > 0 else 1500
+    coverage = float(args[1]) if len(args) > 1 else 50.0
+    noise = float(args[2]) if len(args) > 2 else 0.055
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s")
+    run_production(n_units, coverage, noise, noise_mode=noise_mode,
+                   auto_min_coverage=auto)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,17 @@ class KmerRecruitmentConfig:
     rel_threshold: float = 0.8     # distance-consistency (filter_dist_tuples)
     min_nreads: int = 0
     max_nreads: int = 2**63 - 1
+    # Coverage-adaptive edge cutoff: the reference's fixed min_coverage=4
+    # assumes its coverage-32 datasets; below ~16x UL coverage true-pair
+    # edge counts drop under 4 and the stage starves. When on, ONE sweep
+    # at the floor cutoff 2 yields every cutoff's exact edge set by freq
+    # thresholding, and the largest non-starved cutoff <= min_coverage is
+    # chosen (stages/distance_graph.recruit_unique_kmers). Off by default:
+    # parity runs need the reference's fixed semantics.
+    auto_min_coverage: bool = False
+    # "non-starved" = unique k-mers >= this fraction of the rare set
+    # (healthy runs measure >30%, collapsed runs <5%)
+    auto_min_unique_frac: float = 0.15
 
 
 @dataclasses.dataclass(frozen=True)

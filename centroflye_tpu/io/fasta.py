@@ -31,9 +31,12 @@ def atomic_write(filename: str, mode: str = "w", **kwargs):
     path = os.path.abspath(filename)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     # a SIGKILLed writer can't clean its own tmp; sweep predecessors'
-    # litter for this artifact before starting a fresh attempt
+    # litter for this artifact before starting a fresh attempt. The
+    # path is glob-escaped (artifact names may hold [,?,*) and the
+    # sweep assumes one live writer per artifact path — stage resume
+    # (skip-if-exists) enforces that within a pipeline run
     import glob
-    for stale in glob.glob(f"{path}.*.tmp"):
+    for stale in glob.glob(glob.escape(path) + ".*.tmp"):
         with contextlib.suppress(OSError):
             os.unlink(stale)
     tmp = f"{path}.{os.getpid()}.tmp"

@@ -119,6 +119,8 @@ inline int word_update(uint64_t& P, uint64_t& M, uint64_t Eq, int hin) {
   return (int)hp - (int)hn;
 }
 
+inline int popcount64(uint64_t x) { return __builtin_popcountll(x); }
+
 // All 64 cells of a word provably > k? (bottom score + vertical deltas)
 inline bool all_cells_above_k(uint64_t P, uint64_t M, int score, int k) {
   int v = score;
@@ -236,6 +238,10 @@ int32_t nw_banded(const int8_t* query, int32_t qlen, const int8_t* target,
                   int32_t tlen, int32_t k) {
   if (k < 0) return -1;
   if (qlen > tlen ? (qlen - tlen > k) : (tlen - qlen > k)) return -1;
+  // empty-side NW is pure indels; the word machinery below assumes at
+  // least one query word (qlen=0 would read score[-1])
+  if (qlen == 0) return tlen <= k ? tlen : -1;
+  if (tlen == 0) return qlen <= k ? qlen : -1;
   if (k > qlen + tlen) k = qlen + tlen;
   const int words = (qlen + kWord - 1) / kWord;
   const int pad = words * kWord - qlen;
@@ -297,7 +303,10 @@ extern "C" int32_t cf_edit_distance(const int8_t* query, int32_t qlen,
                                     int32_t* end_pos) {
   if (qlen == 0) {
     if (end_pos) *end_pos = -1;
-    return mode == CF_MODE_NW ? tlen : 0;
+    // NW of an empty query is tlen deletions — which still must respect
+    // a banded threshold k (ADVICE r4: this path used to ignore k)
+    if (mode == CF_MODE_NW) return (k >= 0 && tlen > k) ? -1 : tlen;
+    return 0;
   }
   if (mode == CF_MODE_HW && k >= 0) {
     return hw_banded(query, qlen, target, tlen, k, end_pos);
@@ -372,7 +381,7 @@ int32_t emit_cigar(const std::string& ops, char* cigar_buf, int32_t cap,
 // instead of O(qlen * tlen) bit-walk work. Mirrors edlib's banded design
 // (reference edlib.cpp:538,598-655) but anchored for traceback.
 int32_t align_path_banded(const int8_t* query, int32_t qlen,
-                          const int8_t* target, int32_t tlen,
+                          const int8_t* target, int32_t /*tlen*/,
                           int32_t mode, int32_t dist, int32_t jj_end,
                           char* cigar_buf, int32_t cap,
                           int32_t* t_start, int32_t* t_end) {
@@ -448,6 +457,178 @@ int32_t align_path_banded(const int8_t* query, int32_t qlen,
   if (t_end) *t_end = jj_end;
   return emit_cigar(ops, cigar_buf, cap, dist);
 }
+
+// Bit-parallel banded traceback: the production path for NW/HW PATH
+// tasks (role of edlib's obtainAlignmentTraceback over banded
+// AlignmentData, edlib.cpp:924-1040 — own formulation). Forward pass =
+// banded Myers over a FIXED end-anchored diagonal band (every cell of
+// any optimal path satisfies |(i - c) - (qlen - jj_end)| <= dist, the
+// same containment the scalar band uses) storing per column the band's
+// block bit-states (P, M) and block-bottom scores; traceback
+// reconstructs any in-band cell value in O(1) with popcounts over the
+// stored bits (value(i) = blockScore - popcnt(P & above_i) +
+// popcnt(M & above_i)), so the walk costs O(path length) instead of the
+// scalar band's O(qlen * dist) cell fill. Out-of-band neighbor queries
+// return INF: such cells have true value > dist and can never satisfy
+// the traceback equations (stored values are >= true everywhere, exact
+// on every optimal-path cell — the +1-per-column boundary chain is the
+// all-insert/all-delete upper bound, so in-band minima are uncorrupted;
+// see the scalar version's proof sketch above). Emitted cigars are
+// bit-identical to the scalar/full tracebacks (same move preference:
+// diagonal, up, left).
+namespace {
+
+int32_t align_path_myers(const int8_t* query, int32_t qlen,
+                         const int8_t* target, int32_t /*tlen*/,
+                         int32_t mode, int32_t dist, int32_t jj_end,
+                         char* cigar_buf, int32_t cap,
+                         int32_t* t_start, int32_t* t_end) {
+  if (qlen <= 0 || jj_end <= 0) return -2;
+  const int words = (qlen + kWord - 1) / kWord;
+  const int W = std::min<int64_t>(words, 2 * ((int64_t)dist / kWord) + 3);
+  if ((int64_t)jj_end * W > (int64_t{128} << 20) / 20) return -2;
+  const bool hw = (mode == CF_MODE_HW);
+  // match-all padded query rows (no target padding: values are read at
+  // real rows via popcount peeling)
+  std::vector<uint64_t> peq(5 * (size_t)words, 0);
+  for (int32_t i = 0; i < qlen; ++i) {
+    int a = query[i];
+    if (a >= 0 && a < 4)
+      peq[(size_t)a * words + i / kWord] |= uint64_t{1} << (i % kWord);
+  }
+  for (int32_t i = qlen; i < words * kWord; ++i)
+    for (int a = 0; a < 5; ++a)
+      peq[(size_t)a * words + i / kWord] |= uint64_t{1} << (i % kWord);
+
+  const int64_t anchor = (int64_t)qlen - jj_end;  // i - c on the end diagonal
+  auto bf_of = [&](int32_t c) -> int {
+    int64_t lo = (int64_t)c + anchor - dist;
+    if (lo <= 0) return 0;
+    return (int)std::min<int64_t>(lo / kWord, words - 1);
+  };
+  auto bl_of = [&](int32_t c) -> int {
+    int64_t hi = (int64_t)c + anchor + dist;
+    if (hi < 0) return -1;                        // band not entered yet
+    return (int)std::min<int64_t>(hi / kWord, words - 1);
+  };
+
+  std::vector<uint64_t> Ps((size_t)jj_end * W), Ms((size_t)jj_end * W);
+  std::vector<int32_t> Bs((size_t)jj_end * W);
+  std::vector<int32_t> bfs(jj_end), bls(jj_end);
+
+  std::vector<uint64_t> P(words), M(words);
+  std::vector<int32_t> score(words);
+  int cur_bl = -2;                                // -2: nothing live yet
+  for (int32_t c = 0; c < jj_end; ++c) {
+    const int bf = bf_of(c), bl = bl_of(c);
+    bfs[c] = bf;
+    bls[c] = bl;
+    if (bl < 0) { cur_bl = -2; continue; }
+    if (cur_bl < -1 || bf > cur_bl) {
+      // (re)enter: initialize the whole range to the column boundary
+      // state D(i, c-1) ~ i+1 (the >=-true all-insert bound)
+      for (int b = bf; b <= bl; ++b) {
+        P[b] = ~uint64_t{0};
+        M[b] = 0;
+        score[b] = (b + 1) * kWord;
+      }
+    } else if (bl > cur_bl) {
+      for (int b = cur_bl + 1; b <= bl; ++b) {    // attach below
+        P[b] = ~uint64_t{0};
+        M[b] = 0;
+        score[b] = score[b - 1] + kWord;
+      }
+    }
+    cur_bl = bl;
+    const int a0 = (target[c] >= 0 && target[c] <= 4) ? target[c] : 4;
+    const uint64_t* eq = &peq[(size_t)a0 * words];
+    // top boundary: row -1 is 0 for HW (free prefix skip) and c+1 for
+    // NW; a dropped top region feeds the +1-per-column worst case
+    uint64_t hp = (hw && bf == 0) ? 0 : 1, hn = 0;
+    for (int b = bf; b <= bl; ++b) {
+      word_update2(P[b], M[b], eq[b], hp, hn);
+      score[b] += (int)hp - (int)hn;
+    }
+    uint64_t* pc = &Ps[(size_t)c * W];
+    uint64_t* mc = &Ms[(size_t)c * W];
+    int32_t* bc = &Bs[(size_t)c * W];
+    for (int b = bf; b <= bl; ++b) {
+      pc[b - bf] = P[b];
+      mc[b - bf] = M[b];
+      bc[b - bf] = score[b];
+    }
+  }
+
+  const int32_t INF = 1 << 29;
+  auto value_at = [&](int32_t i, int32_t c) -> int32_t {
+    // D(i, c) with 0-based i/c; boundaries: D(i, -1) = i + 1,
+    // D(-1, c) = hw ? 0 : c + 1
+    if (i < 0) return hw ? 0 : c + 1;
+    if (c < 0) return i + 1;
+    const int b = i / kWord;
+    if (b < bfs[c] || b > bls[c]) return INF;
+    const size_t off = (size_t)c * W + (b - bfs[c]);
+    int32_t v = Bs[off];
+    const int bit = i % kWord;
+    if (bit != kWord - 1) {
+      const uint64_t above = ~uint64_t{0} << (bit + 1);
+      v -= popcount64(Ps[off] & above);
+      v += popcount64(Ms[off] & above);
+    }
+    return v;
+  };
+
+  if (value_at(qlen - 1, jj_end - 1) != dist) return -2;  // safety net
+
+  std::string ops;
+  int32_t i = qlen - 1, c = jj_end - 1;
+  int32_t cur = dist;
+  while (i >= 0) {
+    if (c < 0) {                  // target exhausted: rest is 'I'
+      ops.push_back('I');
+      --i;
+      continue;
+    }
+    const int8_t qc = query[i];
+    const int8_t tc = target[c];
+    const bool match = (qc == tc && qc >= 0 && qc < 4);
+    const int32_t diag = value_at(i - 1, c - 1);
+    if (diag + (match ? 0 : 1) == cur) {
+      ops.push_back(match ? '=' : 'X');
+      --i;
+      --c;
+      cur = diag;
+      if (i < 0 && hw) break;     // HW: top row reached, done
+      continue;
+    }
+    const int32_t up = value_at(i - 1, c);
+    if (up + 1 == cur) {
+      ops.push_back('I');
+      --i;
+      cur = up;
+      continue;
+    }
+    const int32_t left = value_at(i, c - 1);
+    if (left + 1 == cur) {
+      ops.push_back('D');
+      --c;
+      cur = left;
+      continue;
+    }
+    return -2;                    // inconsistent: scalar fallback
+  }
+  if (mode == CF_MODE_NW) {
+    while (c >= 0) {
+      ops.push_back('D');
+      --c;
+    }
+  }
+  if (t_start) *t_start = c + 1;
+  if (t_end) *t_end = jj_end;
+  return emit_cigar(ops, cigar_buf, cap, dist);
+}
+
+}  // namespace
 
 // full-matrix fallback: per-column vertical delta snapshots + bit walks
 // (O(qlen*tlen/64) memory words, unbounded band)
@@ -553,10 +734,29 @@ extern "C" int32_t cf_align_path(const int8_t* query, int32_t qlen,
                                  int32_t mode, char* cigar_buf, int32_t cap,
                                  int32_t* t_start, int32_t* t_end) {
   if (qlen == 0 || tlen == 0) return -1;
-  // pass 1: bit-parallel distance + end column (no snapshots)
+  // pass 1: bit-parallel distance + end column (no snapshots). NW/HW go
+  // through the banded engines with a doubling threshold (edlib's
+  // band-doubling strategy, edlib.cpp:175 — own formulation): the
+  // polish workloads align near-identical ~2 kb pairs whose distance is
+  // a few percent of the length, so the first or second band attempt
+  // succeeds at a fraction of the full O(qlen/64 * tlen) column work.
   int32_t end_j = -1;
-  int32_t dist = cf_edit_distance(query, qlen, target, tlen, mode, -1,
-                                  &end_j);
+  int32_t dist = -1;
+  if (mode == CF_MODE_NW || mode == CF_MODE_HW) {
+    int32_t diff = qlen > tlen ? qlen - tlen : tlen - qlen;
+    int32_t k = std::max(int32_t{64}, mode == CF_MODE_NW ? 2 * diff : 0);
+    for (;; k *= 4) {
+      if (k >= qlen) { k = -1; }   // band covers everything: plain pass
+      dist = cf_edit_distance(query, qlen, target, tlen, mode, k, &end_j);
+      if (dist >= 0 || k < 0) break;
+    }
+    // unbanded HW encodes "empty alignment is best" as end_j = -1 when
+    // nothing beats qlen; the banded engine reports such a column
+    // explicitly — normalize so both entry paths agree
+    if (mode == CF_MODE_HW && dist >= qlen) { dist = qlen; end_j = -1; }
+  } else {
+    dist = cf_edit_distance(query, qlen, target, tlen, mode, -1, &end_j);
+  }
   if (mode != CF_MODE_NW && end_j < 0) {  // empty alignment is best
     if (t_start) *t_start = 0;
     if (t_end) *t_end = 0;
@@ -564,9 +764,13 @@ extern "C" int32_t cf_align_path(const int8_t* query, int32_t qlen,
     return dist;
   }
   const int32_t jj_end = (mode == CF_MODE_NW) ? tlen : end_j + 1;
-  // pass 2: banded traceback (exact; band width from the known distance)
-  int32_t r = align_path_banded(query, qlen, target, tlen, mode, dist,
-                                jj_end, cigar_buf, cap, t_start, t_end);
+  // pass 2: bit-parallel banded traceback (exact; band from the known
+  // distance); scalar band and full matrix remain as safety fallbacks
+  int32_t r = align_path_myers(query, qlen, target, tlen, mode, dist,
+                               jj_end, cigar_buf, cap, t_start, t_end);
+  if (r != -2) return r;
+  r = align_path_banded(query, qlen, target, tlen, mode, dist,
+                        jj_end, cigar_buf, cap, t_start, t_end);
   if (r != -2) return r;
   return align_path_full(query, qlen, target, tlen, mode, cigar_buf, cap,
                          t_start, t_end);

@@ -97,6 +97,89 @@ def add_read_noise(rng: np.random.Generator, seq: str,
     return "".join(out)
 
 
+def add_read_noise_clustered(rng: np.random.Generator, seq: str,
+                             nominal_rate: float) -> str:
+    """Clustered, homopolymer-biased ONT-like noise at `nominal_rate`
+    errors per base. Real nanopore error is NOT uniform: errors arrive in
+    bursts and concentrate on homopolymer runs (deletion-dominant), so a
+    nominal 8-10% read error destroys far fewer k=19-mers than uniform
+    errors of the same rate — the regime the reference's default
+    kmer-survival-rate 0.34 encodes (reference centroFlye.py:52:
+    (1-e)^19 = 0.34 at e ~ 5.5% EFFECTIVE).
+
+    Model: error CLUSTERS start at per-base rate nominal_rate / mean_len
+    with start probability doubled inside homopolymer runs (length >= 3,
+    renormalized so the average error mass stays at nominal_rate); a
+    cluster spans 1 + Geometric(1/2) bases (mean 2); each clustered base
+    is deleted with prob 0.5 (homopolymer-dominant ONT behavior),
+    substituted with 0.3, or gets an insertion with 0.2. The
+    uniform-equivalent error of the model is measured, not assumed:
+    clustered_effective_error() calibrates k-mer survival empirically."""
+    if nominal_rate <= 0:
+        return seq
+    n = len(seq)
+    if n == 0:
+        return seq
+    mean_len = 2.0
+    arr = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    # homopolymer-run membership (runs of length >= 3)
+    same = arr[1:] == arr[:-1]
+    run_id = np.concatenate([[0], np.cumsum(~same)])
+    run_len = np.bincount(run_id)
+    in_hp = run_len[run_id] >= 3
+    w = np.where(in_hp, 2.0, 1.0)
+    lam = nominal_rate / mean_len
+    starts = rng.random(n) < lam * w * (n / max(w.sum(), 1.0))
+    out = []
+    i = 0
+    start_idx = np.flatnonzero(starts)
+    si = 0
+    while i < n:
+        if si < len(start_idx) and i == start_idx[si]:
+            clen = max(1, min(int(rng.geometric(0.5)), n - i))  # mean 2
+            for j in range(i, i + clen):
+                r = rng.random()
+                if r < 0.5:
+                    continue                          # deletion
+                if r < 0.8:
+                    choices = [b for b in BASES if b != seq[j]]
+                    out.append(choices[int(rng.integers(0, 3))])
+                else:
+                    out.append(BASES[int(rng.integers(0, 4))])
+                    out.append(seq[j])                # insertion (before)
+            i += clen
+            while si < len(start_idx) and start_idx[si] < i:
+                si += 1
+        else:
+            out.append(seq[i])
+            i += 1
+            if si < len(start_idx) and start_idx[si] < i:
+                si += 1
+    return "".join(out)
+
+
+_EFF_CACHE: Dict = {}
+
+
+def clustered_effective_error(nominal_rate: float, k: int = 19) -> float:
+    """The uniform-equivalent per-base error of the clustered model at
+    `nominal_rate`, MEASURED (not derived): simulate a long random
+    sequence, apply clustered noise, measure the k-mer survival s =
+    |kmers(clean) ∩ kmers(noisy)| / |kmers(clean)| (random sequence ⇒
+    k-mers are essentially unique), and solve (1-e)^k = s. Deterministic
+    (fixed internal seed) and cached."""
+    key = (round(float(nominal_rate), 6), k)
+    if key not in _EFF_CACHE:
+        rng = np.random.default_rng(123457)
+        clean = gen_random_seq(rng, 300_000)
+        noisy = add_read_noise_clustered(rng, clean, nominal_rate)
+        kms = {clean[i:i + k] for i in range(len(clean) - k + 1)}
+        kmn = {noisy[i:i + k] for i in range(len(noisy) - k + 1)}
+        s = len(kms & kmn) / max(len(kms), 1)
+        _EFF_CACHE[key] = 1.0 - s ** (1.0 / k)
+    return _EFF_CACHE[key]
+
+
 @dataclasses.dataclass
 class SimulatedRead:
     r_id: str

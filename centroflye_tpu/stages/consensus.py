@@ -226,28 +226,44 @@ def vote_from_cigars(template: str, cigars: Sequence[str],
         if int(gap_cov[g]) < min_coverage:
             continue
         empty = int(gap_cov[g]) - int(ins_nonempty[g])
+        # fast path: when at least as many covering reads saw NO
+        # insertion as saw one, '' wins outright (any nonempty string's
+        # count <= ins_nonempty <= empty, and _majority breaks ties
+        # lexicographically — '' first); most gaps carry one or two
+        # noisy insertion events against dozens of clean reads, so this
+        # skips the Counter + sort for ~95% of gaps
+        if empty >= int(ins_nonempty[g]):
+            continue
         cand = Counter(c)
         if empty > 0:
             cand[""] += empty
-        ins_gaps[g] = _majority(cand, "")
+        maj = _majority(cand, "")
+        if maj:
+            ins_gaps[g] = maj
 
-    out: List[str] = []
-    for j in range(n):
-        ins = ins_gaps.get(j, "")
-        if ins:
-            out.append(ins)
-        if cov[j] < min_coverage:
-            out.append(template[j])
-            continue
-        base = overrides.get(j)
-        if base is None:
-            base = _IDX_BASE[best[j]]
-        if base != "-":
-            out.append(base)
-    tail = ins_gaps.get(n, "")
-    if tail:
-        out.append(tail)
-    return "".join(out)
+    # vectorized assembly: per-column chars from the argmax (template
+    # where under-covered, override columns patched), '-' columns
+    # dropped by mask, the few insertion strings spliced between
+    # segments — replaces the per-column Python loop
+    tcodes = np.frombuffer(template.encode("ascii"), np.uint8)
+    lut = np.frombuffer(b"-ACGT", np.uint8)
+    sel = lut[best]
+    lowc = cov < min_coverage
+    sel = np.where(lowc, tcodes, sel)
+    for j, b in overrides.items():
+        if not lowc[j]:
+            sel[j] = ord(b)
+    keep = sel != ord("-")
+    if not ins_gaps:
+        return sel[keep].tobytes().decode("ascii")
+    parts: List[str] = []
+    prev = 0
+    for g in sorted(ins_gaps):
+        parts.append(sel[prev:g][keep[prev:g]].tobytes().decode("ascii"))
+        parts.append(ins_gaps[g])
+        prev = g
+    parts.append(sel[prev:n][keep[prev:n]].tobytes().decode("ascii"))
+    return "".join(parts)
 
 
 def polish_consensus(template: str, reads: Sequence[str],
@@ -259,6 +275,18 @@ def polish_consensus(template: str, reads: Sequence[str],
     cur = template
     for i in range(1, n_iters + 1):
         if reads:
+            prev = cur
             cur = polish_round(cur, reads)
-        out[i] = cur
+            out[i] = cur
+            if cur == prev:
+                # fixed point: the round is deterministic in (template,
+                # reads), so every later iteration returns the same
+                # sequence — fill without re-aligning (most positions
+                # converge by round 2; the reference burns all 4 Flye
+                # iterations regardless, eltr_polisher.py:99-114)
+                for j in range(i + 1, n_iters + 1):
+                    out[j] = cur
+                break
+        else:
+            out[i] = cur
     return out

@@ -379,7 +379,11 @@ def _prep_strip_device(flat, seg_packed, sizes_flat, nnz, nb,
     idx_b = jnp.minimum(idx_a + d, jnp.int32(RT - 1))
     seg = seg_packed[jnp.where(bvalid, idx_a, 0)]
     aseg = jnp.where(bvalid, seg & jnp.int32(0xFFFF), 0)
-    alo = seg >> jnp.int32(16)
+    # mask after the arithmetic shift: seg_lo occupies the high 16 bits
+    # and can reach Kp-1; for seg_lo >= 2^15 the packed int32 is negative
+    # and >> sign-extends, so the unmasked unpack would corrupt the
+    # gather base below for any strip past the 32768th rare k-mer
+    alo = (seg >> jnp.int32(16)) & jnp.int32(0xFFFF)
     nbv = jnp.where(bvalid, sizes_flat[idx_b], 0)
     ba = idx_a * jnp.int32(Kp) + alo
     bb = idx_b * jnp.int32(Kp)
@@ -1085,6 +1089,10 @@ class DistanceEdges:
     j: np.ndarray         # int64 k-mer index
     freq: np.ndarray      # int64
     unique_kmer_indices: np.ndarray   # sorted int64
+    # the edge-coverage cutoff that produced this edge set — equals
+    # config.min_coverage except under auto_min_coverage, where the
+    # coverage-adaptive selection may have stepped it down
+    min_coverage_used: int = 0
 
 
 def filter_dist_tuples(
@@ -1295,6 +1303,45 @@ def recruit_unique_kmers(
     if len(rare_codes) >= 1 << 24:
         raise ValueError(
             "rare k-mer table >= 2^24 entries overflows the packed pair key")
+    if config.auto_min_coverage and config.min_coverage > 2:
+        # Coverage-adaptive edge cutoff. The reference hard-codes
+        # min_coverage=4 for its coverage-32 datasets (reference
+        # distance_based_kmer_recruitment.py:131-149 and the exposed
+        # --min-coverage flag, centroFlye.py:57-60); below ~16x UL the
+        # expected count of a TRUE pair edge — (reads spanning both unit
+        # copies) x survival^2 — drops under 4 and the whole stage
+        # starves (measured: 401 unique k-mers / 26 placed reads of 525
+        # at 9x). The d-consistency test (count/all >= 0.8) does not
+        # depend on the cutoff, so one sweep at the floor cutoff 2
+        # yields the exact edge set of EVERY cutoff in [2, min_coverage]
+        # by host-side freq thresholding; pick the largest cutoff whose
+        # unique-k-mer yield is not starved (>= auto_min_unique_frac of
+        # the rare set — healthy runs sit far above, collapsed runs far
+        # below).
+        base = dataclasses.replace(config, auto_min_coverage=False,
+                                   min_coverage=2)
+        _, edges2 = recruit_unique_kmers(
+            clouds_tensor, n_units, rare_codes, base, capacity=capacity,
+            entry_chunk=entry_chunk, edge_capacity=edge_capacity,
+            dedup_hint=dedup_hint, max_capacity=max_capacity, mesh=mesh,
+            return_edges=True, out_small=out_small)
+        n_rare = max(len(rare_codes), 1)
+        for c in range(config.min_coverage, 1, -1):
+            kept = edges2.freq >= c
+            uidx = (np.unique(np.concatenate(
+                [edges2.i[kept], edges2.j[kept]]))
+                if kept.any() else np.empty(0, np.int64))
+            if len(uidx) >= config.auto_min_unique_frac * n_rare:
+                break
+        logger.info(
+            "auto min_coverage: cutoff %d of [2, %d] (unique %d / rare %d"
+            " = %.1f%%, edges %d)", c, config.min_coverage, len(uidx),
+            n_rare, 100.0 * len(uidx) / n_rare, int(kept.sum()))
+        edges = DistanceEdges(
+            dist=edges2.dist[kept], i=edges2.i[kept], j=edges2.j[kept],
+            freq=edges2.freq[kept], unique_kmer_indices=uidx,
+            min_coverage_used=c)
+        return np.sort(rare_codes[uidx]), edges
     num, den, exact = _rel_fraction(config.rel_threshold)
     import concurrent.futures as _cf
     futures = []
@@ -1380,13 +1427,15 @@ def recruit_unique_kmers(
     if not parts:
         e = np.empty(0, np.int64)
         edges = DistanceEdges(dist=np.empty(0, np.int32), i=e, j=e.copy(),
-                              freq=e.copy(), unique_kmer_indices=uniq)
+                              freq=e.copy(), unique_kmer_indices=uniq,
+                              min_coverage_used=config.min_coverage)
         return rare_codes[edges.unique_kmer_indices], edges
     sel_i = np.concatenate([p[0] for p in parts])
     sel_j = np.concatenate([p[1] for p in parts])
     sel_d = np.concatenate([p[2] for p in parts])
     sel_c = np.concatenate([p[3] for p in parts])
     edges = DistanceEdges(dist=sel_d.astype(np.int32), i=sel_i, j=sel_j,
-                          freq=sel_c, unique_kmer_indices=uniq)
+                          freq=sel_c, unique_kmer_indices=uniq,
+                          min_coverage_used=config.min_coverage)
     unique_codes = rare_codes[edges.unique_kmer_indices]
     return np.sort(unique_codes), edges

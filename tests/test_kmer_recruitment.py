@@ -492,3 +492,86 @@ def test_distance_table_uncanonical_rows(rng):
             got[(int(uhi[t]), int(ulo[t]) >> 8, int(ulo[t]) & 0xFF)] = \
                 int(cnt[t])
         assert got == dict(want), f"capacity={cap}"
+
+
+def test_auto_min_coverage_steps_down(rng):
+    """Coverage-adaptive edge cutoff: a sparse world whose true pair
+    counts sit at 2-3 starves min_coverage=4 entirely; auto mode must
+    step the cutoff down and return EXACTLY the edge set of a direct
+    min_coverage=2 run (the d-consistency test is cutoff-independent, so
+    post-thresholding the floor sweep is exact)."""
+    R, T, Kc = 6, 8, 3
+    n_kmers = 64
+    tensor = np.full((R, T, Kc), -1, np.int32)
+    n_units = np.zeros(R, np.int32)
+    # 3 reads each over the same two "array windows": each (unit t,
+    # kmer) pair recurs in 3 reads -> pair counts exactly 3 (< 4)
+    for r in range(R):
+        n_units[r] = T
+        for t in range(T):
+            base = (t + (r // 3) * T) % (n_kmers // 2)
+            tensor[r, t, 0] = 2 * base
+            tensor[r, t, 1] = 2 * base + 1
+    rare_fake = np.arange(n_kmers, dtype=np.uint64)
+    cfg4 = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=4,
+                                 min_coverage=4)
+    uniq4, edges4 = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg4, capacity=1 << 14,
+        entry_chunk=64)
+    assert len(uniq4) == 0 and edges4.min_coverage_used == 4
+
+    cfg_auto = KmerRecruitmentConfig(
+        k=K, min_distance=1, max_distance=4, min_coverage=4,
+        auto_min_coverage=True)
+    uniq_a, edges_a = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg_auto, capacity=1 << 14,
+        entry_chunk=64)
+    cfg2 = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=4,
+                                 min_coverage=2)
+    uniq2, edges2 = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg2, capacity=1 << 14,
+        entry_chunk=64)
+    assert edges_a.min_coverage_used < 4
+    assert np.array_equal(uniq_a, uniq2)
+    got_a = {(int(a), int(b), int(d)): int(f)
+             for a, b, d, f in zip(edges_a.i, edges_a.j, edges_a.dist,
+                                   edges_a.freq)}
+    got_2 = {(int(a), int(b), int(d)): int(f)
+             for a, b, d, f in zip(edges2.i, edges2.j, edges2.dist,
+                                   edges2.freq)}
+    assert got_a == got_2 and len(got_a) > 0
+
+
+def test_auto_min_coverage_keeps_reference_cutoff_when_healthy(rng):
+    """At healthy counts (>= 4) the adaptive mode must CHOOSE the
+    reference cutoff and match the fixed run bit-for-bit."""
+    R, T, Kc = 10, 6, 3
+    n_kmers = 40
+    tensor = np.full((R, T, Kc), -1, np.int32)
+    n_units = np.zeros(R, np.int32)
+    for r in range(R):                 # 10 identical reads: counts = 10
+        n_units[r] = T
+        for t in range(T):
+            tensor[r, t, 0] = 2 * t
+            tensor[r, t, 1] = 2 * t + 1
+    rare_fake = np.arange(n_kmers, dtype=np.uint64)
+    cfg4 = KmerRecruitmentConfig(k=K, min_distance=1, max_distance=3,
+                                 min_coverage=4)
+    uniq4, edges4 = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg4, capacity=1 << 14,
+        entry_chunk=64)
+    cfg_auto = KmerRecruitmentConfig(
+        k=K, min_distance=1, max_distance=3, min_coverage=4,
+        auto_min_coverage=True)
+    uniq_a, edges_a = recruit_unique_kmers(
+        tensor, n_units, rare_fake, cfg_auto, capacity=1 << 14,
+        entry_chunk=64)
+    assert edges_a.min_coverage_used == 4
+    assert np.array_equal(uniq_a, uniq4)
+    got_a = {(int(a), int(b), int(d)): int(f)
+             for a, b, d, f in zip(edges_a.i, edges_a.j, edges_a.dist,
+                                   edges_a.freq)}
+    got_4 = {(int(a), int(b), int(d)): int(f)
+             for a, b, d, f in zip(edges4.i, edges4.j, edges4.dist,
+                                   edges4.freq)}
+    assert got_a == got_4 and len(got_a) > 0

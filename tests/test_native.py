@@ -323,3 +323,23 @@ def test_native_encode_pack_row_matches_numpy(rng, make_dna):
     out = np.zeros(4, np.uint8)
     assert enc_pack(b"ACGNACGT", 0, 8, out.ctypes.data, 4) == 1
     assert enc_pack(b"ACGNACGT", 4, 4, out.ctypes.data, 4) == 0
+
+
+def test_native_nw_banded_empty_sides():
+    """nw_banded with an empty query/target: pure-indel answers, no OOB
+    reads (ADVICE r4: qlen=0 used to return -1 or read score[-1])."""
+    import numpy as np
+    from centroflye_tpu.native import native_edit_distance
+    empty = np.zeros(0, np.int8)
+    seq = np.array([0, 1, 2, 3, 0, 1], np.int8)
+    if native_edit_distance(empty, seq, mode="NW", k=10) is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    d, _ = native_edit_distance(empty, seq, mode="NW", k=10)
+    assert d == len(seq)
+    d, _ = native_edit_distance(empty, seq, mode="NW", k=3)
+    assert d == -1
+    d, _ = native_edit_distance(seq, empty, mode="NW", k=10)
+    assert d == len(seq)
+    d, _ = native_edit_distance(empty, empty, mode="NW", k=0)
+    assert d == 0

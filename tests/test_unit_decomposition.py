@@ -303,3 +303,26 @@ def test_placement_agreement_decomposer_vs_pinned_report():
                  if p is not None)
     assert placed >= 0.8 * len(reads)
     os.remove(report_fn)
+
+
+def test_clustered_noise_calibration():
+    """The clustered ONT noise model must (a) deliver HIGHER k-mer
+    survival than uniform noise at the same nominal rate (errors bunch
+    up), (b) calibrate to an effective rate near half nominal, and (c)
+    be deterministic given the rng."""
+    from centroflye_tpu.pipeline.simulate import (
+        add_read_noise_clustered, clustered_effective_error,
+        gen_random_seq)
+    import numpy as np
+    eff = clustered_effective_error(0.10)
+    assert 0.03 < eff < 0.07          # clustering spares k-mers
+    rng1 = np.random.default_rng(5)
+    rng2 = np.random.default_rng(5)
+    clean = gen_random_seq(np.random.default_rng(1), 20000)
+    a = add_read_noise_clustered(rng1, clean, 0.1)
+    b = add_read_noise_clustered(rng2, clean, 0.1)
+    assert a == b and a != clean
+    # realized error mass is in the right ballpark of nominal
+    from centroflye_tpu.ops.align_path import align_path
+    d = align_path(clean, a, mode="NW").dist
+    assert 0.04 * len(clean) < d < 0.13 * len(clean)
