@@ -204,8 +204,15 @@ def part_b_assembly(rng, n_hor, coverage):
 
     t0 = time.time()
     mappings = db.map_reads(ec)
-    scaffolds, _ = scaffolding(db, mappings,
-                               min_connections=cfg.min_connections)
+    scaffolds, edge_scaffolds = scaffolding(
+        db, mappings, min_connections=cfg.min_connections)
+    n_pre_join = len(scaffolds)
+    if len(scaffolds) > 1:
+        from centroflye_tpu.mono.scaffolding import (
+            merge_scaffolds_with_paths)
+        scaffolds, edge_scaffolds = merge_scaffolds_with_paths(
+            db, scaffolds, edge_scaffolds,
+            min_overlap=cfg.join_min_overlap)
     t_scaf = time.time() - t0
 
     # accuracy: every scaffold must be an exact run of the genome; the
@@ -236,6 +243,7 @@ def part_b_assembly(rng, n_hor, coverage):
         "error_correction_s": round(t_ec, 1),
         "iterative_graph_s": round(t_graph, 1),
         "map_and_scaffold_s": round(t_scaf, 1),
+        "n_scaffolds_pre_join": n_pre_join,
         "n_scaffolds": len(scaffolds),
         "n_exact_scaffolds": n_exact,
         "best_scaffold_monomers": int(len(best)),

@@ -167,6 +167,65 @@ def build_world(n_units, coverage, noise, *, seed=7, div_rate=0.003,
         ul_cen_bases / len(sim.tr)
 
 
+def classify_divergence(final, truth, unit_len, rundir, rng):
+    """Per-unit-window error classification (the reference ships only
+    whole-assembly convergence diagnostics, eltr_polisher.py:133-146;
+    round-4 verdict asked for a per-window error-class artifact): align
+    every truth unit window into the assembly, classify divergent
+    windows as array_end (first/last 2 units), low_coverage (< 6 placed
+    reads span the unit), or interior. Returns (rows, class summary)."""
+    import numpy as _np
+    from centroflye_tpu.stages.read_placer import read_positions_file
+    from centroflye_tpu.pipeline.cenx import load_decomposition
+
+    pos_fn = os.path.join(rundir, "tr_resolution", "read_positions.csv")
+    dec_fn = os.path.join(rundir, "decomposition.json")
+    placements = read_positions_file(pos_fn)
+    dec = load_decomposition(dec_fn)
+    total_units = 0
+    for r, p in placements.items():
+        if p is not None and r in dec.records:
+            total_units = max(total_units,
+                              p + len(dec.records[r].bounds) - 1)
+    cov = _np.zeros(max(total_units, 1), _np.int32)
+    for r, p in placements.items():
+        if p is not None and r in dec.records:
+            nu = len(dec.records[r].bounds) - 1
+            cov[p:p + nu] += 1
+    n_t, n_a = len(truth), len(final)
+    n_units_t = n_t // unit_len
+    rows = []
+    for u in range(n_units_t):
+        ts = u * unit_len
+        piece = truth[ts:ts + unit_len]
+        ac = int(ts / n_t * n_a)
+        lo, hi = max(0, ac - 8000), min(n_a, ac + unit_len + 8000)
+        al = align_path(piece, final[lo:hi], mode="HW")
+        div = al.dist / max(len(piece), 1)
+        cu = min(int(u / n_units_t * len(cov)), len(cov) - 1)
+        if u < 2 or u >= n_units_t - 2:
+            cls = "array_end"
+        elif cov[cu] < 6:
+            cls = "low_coverage"
+        else:
+            cls = "interior"
+        rows.append({"unit": u, "divergence": round(div, 5),
+                     "coverage": int(cov[cu]), "class": cls})
+    summary = {}
+    for cls in ("array_end", "low_coverage", "interior"):
+        sel = [r for r in rows if r["class"] == cls]
+        bad = [r for r in sel if r["divergence"] > 0.001]
+        if sel:
+            summary[cls] = {
+                "units": len(sel),
+                "units_over_0.1pct": len(bad),
+                "mean_divergence": round(
+                    sum(r["divergence"] for r in sel) / len(sel), 5),
+                "max_divergence": max(r["divergence"] for r in sel),
+            }
+    return rows, summary
+
+
 def run_production(n_units, coverage, noise, *, tag=None, fresh=False,
                    auto_min_coverage=False, noise_mode="uniform",
                    save_artifact=True, seed=7):
@@ -221,6 +280,11 @@ def run_production(n_units, coverage, noise, *, tag=None, fresh=False,
 
     rng = np.random.default_rng(seed + 1)
     d, b, per_chunk = sample_divergence(final, sim.tr, rng)
+    try:
+        class_rows, class_summary = classify_divergence(
+            final, sim.tr, len(unit), rundir, rng)
+    except Exception as e:      # classification is diagnostics, not gate
+        class_rows, class_summary = [], {"error": str(e)}
     peak_rss_gb = resource.getrusage(
         resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
     div = d / max(b, 1)
@@ -238,6 +302,7 @@ def run_production(n_units, coverage, noise, *, tag=None, fresh=False,
                               / len(sim.tr), 5),
         "sampled_divergence": round(div, 5),
         "divergence_chunks": per_chunk,
+        "divergence_classes": class_summary,
         "wall_s": round(wall, 1),
         "sim_s": round(t_sim, 1),
         "peak_rss_gb": round(peak_rss_gb, 2),
@@ -247,6 +312,12 @@ def run_production(n_units, coverage, noise, *, tag=None, fresh=False,
                               "(README.md:72-75,121-124)",
     }
     print(json.dumps(summary, indent=2), flush=True)
+    if save_artifact and class_rows:
+        cls_fn = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"divergence_classes_{tag}.json")
+        with open(cls_fn, "w") as f:
+            json.dump({"summary": class_summary, "units": class_rows}, f)
     if save_artifact:
         out_fn = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),

@@ -89,6 +89,11 @@ class KmerRecruitmentConfig:
     # "non-starved" = unique k-mers >= this fraction of the rare set
     # (healthy runs measure >30%, collapsed runs <5%)
     auto_min_unique_frac: float = 0.15
+    # endpoint-degree cleanup at sub-reference cutoffs: keep only
+    # k-mers incident to >= this many surviving edges (true unique
+    # k-mers pair with tens of unit copies; chance noise pairs are
+    # nearly isolated). 1 disables.
+    auto_min_degree: int = 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,6 +154,13 @@ class MonoConfig:
     max_uniq_cov: int = 60         # DeBruijnGraph unique-edge coloring
     min_uniq_len: int = 1000
     min_connections: int = 2       # scaffolding support
+    # evidence-based scaffold joining (the automated counterpart of the
+    # reference's hard-coded cen6 join, centroFlyeMono.py:84-87): merge
+    # scaffolds whose symbols share an exact >= join_min_overlap-monomer
+    # suffix-prefix overlap and whose merged run maps to one valid graph
+    # path (mono/scaffolding.merge_scaffolds_with_paths)
+    auto_join: bool = True
+    join_min_overlap: int = 50
 
 
 @dataclasses.dataclass(frozen=True)

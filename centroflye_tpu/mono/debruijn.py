@@ -41,6 +41,31 @@ def _inv_u64(a: np.uint64) -> np.uint64:
 
 
 _B_INV = _inv_u64(_B)
+_POW_CACHE: Dict = {}
+
+
+def _geom_powers(base: np.uint64, n: int) -> np.ndarray:
+    """[base^0 .. base^n] mod 2^64 by block doubling: log2(n) vector
+    multiplies instead of np.multiply.accumulate's scalar uint64 loop
+    (measured 0.65 s for 1.7M elements — the dominant cost of a whole
+    k-round before this). Cached and grown geometrically per base."""
+    key = int(base)
+    cached = _POW_CACHE.get(key)
+    if cached is not None and len(cached) > n:
+        return cached
+    m = max(2 * n + 1, 1 << 12)
+    with np.errstate(over="ignore"):
+        p = np.empty(m, np.uint64)
+        p[0] = 1
+        p[1] = base
+        filled = 2
+        while filled < m:
+            take = min(filled, m - filled)
+            np.multiply(p[:take], p[filled - 1] * base,
+                        out=p[filled:filled + take])
+            filled += take
+    _POW_CACHE[key] = p
+    return p
 
 
 def rolling_kmer_hashes(s: np.ndarray, k: int) -> Tuple[np.ndarray,
@@ -52,18 +77,9 @@ def rolling_kmer_hashes(s: np.ndarray, k: int) -> Tuple[np.ndarray,
         return np.empty(0, np.uint64), np.empty(0, bool)
     with np.errstate(over="ignore"):
         vals = (s.astype(np.int64) + 2).astype(np.uint64)
-        idx = np.arange(L, dtype=np.uint64)
-        powers = np.empty(L + 1, np.uint64)
-        powers[0] = 1
-        np.multiply.accumulate(np.full(L, _B, np.uint64),
-                               out=powers[1:])
-        inv_powers = np.empty(L, np.uint64)
-        inv_powers[0] = 1
-        np.multiply.accumulate(np.full(L - 1, _B_INV, np.uint64),
-                               out=inv_powers[1:])
-        terms = vals * powers[:L]
+        terms = vals * _geom_powers(_B, L)[:L]
         prefix = np.concatenate([[np.uint64(0)], np.cumsum(terms)])
-        H = (prefix[k:] - prefix[:-k]) * inv_powers[:L - k + 1]
+        H = (prefix[k:] - prefix[:-k]) * _geom_powers(_B_INV, L)[:L - k + 1]
     bad = (s == GAP)
     cs = np.concatenate([[0], np.cumsum(bad.astype(np.int32))])
     valid = (cs[k:] - cs[:-k]) == 0
@@ -89,42 +105,167 @@ def get_all_kmers(strings: Dict, k: int):
     return counts, locations
 
 
-def get_frequent_kmers(strings: Dict, k: int, min_mult: int = 5):
+def get_frequent_kmers(strings: Dict, k: int, min_mult: int = 5,
+                       with_locations: bool = True):
     """Frequent k-mers via the rolling-hash prefilter (exact result):
     only hash-frequent windows are materialized and verified
-    (reference get_frequent_kmers, debruijn_graph.py:312-318)."""
-    all_h: List[np.ndarray] = []
-    metas: List[Tuple] = []
-    arrays = {}
+    (reference get_frequent_kmers, debruijn_graph.py:312-318).
+
+    The verification is VECTORIZED: all strings concatenate into one
+    symbol plane (hit windows never cross read boundaries, so window
+    reads off the plane equal per-read windows), hits sort by hash, and
+    each equal-hash run certifies row equality against its first row in
+    one numpy comparison — a true collision (different k-mers, equal
+    hash) falls back to an exact per-run np.unique split. The
+    per-window Python loop this replaces was the cen6 assembly's
+    dominant cost (~1.3 s x 301 k-rounds at the 800-HOR shape; the
+    reference's per-window dict slicing is reference hot loop #7).
+    with_locations=False skips building the per-hit (r_id, pos) lists
+    (production k-sweep callers use only the counts)."""
+    arrays = []
+    r_ids = []
     for r_id, s in strings.items():
         arr = s.syms if isinstance(s, MonoString) else s
-        arrays[r_id] = arr
+        if len(arr) < k:
+            continue
+        arrays.append(np.ascontiguousarray(arr, dtype=np.int16))
+        r_ids.append(r_id)
+    if not arrays:
+        return {}, {}
+    # one GAP-joined plane: a single rolling-hash call covers every
+    # read, and windows spanning a read boundary invalidate themselves
+    # (they contain the separator GAP) — no per-read Python loop at all
+    sep = np.array([GAP], np.int16)
+    plane = np.concatenate(
+        [x for a in arrays for x in (a, sep)][:-1])
+    bases = np.zeros(len(arrays), np.int64)
+    if len(arrays) > 1:
+        bases[1:] = np.cumsum(
+            [len(a) + 1 for a in arrays[:-1]])
+    H, valid = rolling_kmer_hashes(plane, k)
+    offs_all = np.nonzero(valid)[0]
+    flat = H[valid]
+    uniq, counts = np.unique(flat, return_counts=True)
+    freq_h = uniq[counts >= min_mult]
+    if freq_h.size == 0:
+        return {}, {}
+    qi = np.searchsorted(freq_h, flat)
+    qi = np.minimum(qi, freq_h.size - 1)
+    mask = freq_h[qi] == flat
+    if not mask.any():
+        return {}, {}
+    offs = offs_all[mask]
+    hh = flat[mask]
+    order = np.argsort(hh, kind="stable")
+    offs, hh = offs[order], hh[order]
+    # row verification on the narrowest plane the alphabet allows:
+    # monomer alphabets fit int8, halving the gather + compare traffic
+    if plane.size and -128 <= int(plane.min()) and int(plane.max()) < 128:
+        cmp_plane = plane.astype(np.int8)
+    else:
+        cmp_plane = plane
+    W = np.lib.stride_tricks.sliding_window_view(cmp_plane, k)[offs]
+    rstart = np.concatenate(
+        [[0], np.nonzero(hh[1:] != hh[:-1])[0] + 1])
+    starts = np.concatenate([rstart, [hh.size]])
+    # adjacent-row equality: equality is transitive, so a run is uniform
+    # iff every consecutive pair matches — one contiguous compare, no
+    # second gather of per-run representatives
+    adj = np.empty(hh.size, np.bool_)
+    adj[0] = True
+    if hh.size > 1:
+        # void-view rows compare as single memcmp values — no (N, k)
+        # bool intermediate
+        Wv = np.ascontiguousarray(W).view(
+            np.dtype((np.void, W.shape[1] * W.itemsize)))[:, 0]
+        adj[1:] = Wv[1:] == Wv[:-1]
+        adj[rstart] = True
+    frequent: Dict[bytes, int] = {}
+    freq_pos: Dict[bytes, List[Tuple]] = {}
+    if with_locations:
+        ridx = np.searchsorted(bases, offs, side="right") - 1
+        posv = offs - bases[ridx]
+
+    def kmer_key(row_idx: int) -> bytes:
+        o = int(offs[row_idx])
+        return plane[o:o + k].tobytes()
+
+    def emit(a: int, b: int, sel=None):
+        n = (b - a) if sel is None else int(sel.sum())
+        if n < min_mult:
+            return
+        key = kmer_key(a if sel is None else a + int(np.nonzero(sel)[0][0]))
+        frequent[key] = frequent.get(key, 0) + n
+        if with_locations:
+            rs = ridx[a:b] if sel is None else ridx[a:b][sel]
+            ps = posv[a:b] if sel is None else posv[a:b][sel]
+            freq_pos.setdefault(key, []).extend(
+                (r_ids[int(r)], int(p)) for r, p in zip(rs, ps))
+
+    if bool(adj.all()):         # no collisions anywhere (the usual case)
+        for a, b in zip(starts[:-1], starts[1:]):
+            emit(int(a), int(b))
+        return frequent, freq_pos
+    for a, b in zip(starts[:-1], starts[1:]):
+        a, b = int(a), int(b)
+        if bool(adj[a + 1:b].all()):
+            emit(a, b)
+            continue
+        # genuine 64-bit hash collision: exact split
+        u, inv = np.unique(W[a:b], axis=0, return_inverse=True)
+        for g in range(len(u)):
+            emit(a, b, inv == g)
+    return frequent, freq_pos
+
+
+def count_specific_kmers(strings: Dict, k: int,
+                         queries: Sequence[bytes]) -> Dict[bytes, int]:
+    """Exact occurrence counts of the queried k-mers only (no global
+    table): hash every valid window once, binary-search the sorted query
+    hashes, and verify each candidate window against its query bytes —
+    O(total_symbols + hits * k) numpy work. Serves the complex-node
+    (k+1)-mer evidence pass (reference get_paths_thru_complex_nodes,
+    debruijn_graph.py:286-309), which queries a handful of (k+1)-mers
+    per round but previously paid a full per-window Python count of ALL
+    (k+1)-mers."""
+    out: Dict[bytes, int] = {key: 0 for key in queries}
+    if not queries:
+        return out
+    qarrs = [np.frombuffer(key, dtype=np.int16) for key in queries]
+    if any(len(q) != k for q in qarrs):
+        raise ValueError("query length != k")
+    with np.errstate(over="ignore"):
+        qh = np.array(
+            [((q.astype(np.int64) + 2).astype(np.uint64)
+              * np.multiply.accumulate(
+                  np.concatenate([[np.uint64(1)],
+                                  np.full(k - 1, _B, np.uint64)]))
+              ).sum(dtype=np.uint64) for q in qarrs], np.uint64)
+    qsort = np.sort(qh)
+    by_hash: Dict[int, List[int]] = defaultdict(list)
+    for i, h in enumerate(qh.tolist()):
+        by_hash[h].append(i)
+    keys = list(queries)
+    for r_id, s in strings.items():
+        arr = s.syms if isinstance(s, MonoString) else s
+        arr = np.ascontiguousarray(arr, dtype=np.int16)
         if len(arr) < k:
             continue
         H, valid = rolling_kmer_hashes(arr, k)
-        all_h.append(H[valid])
-        pos = np.nonzero(valid)[0]
-        metas.append((r_id, pos))
-    if not all_h:
-        return {}, {}
-    flat = np.concatenate(all_h)
-    uniq, counts = np.unique(flat, return_counts=True)
-    frequent_h = set(uniq[counts >= min_mult].tolist())
-    # materialize + verify only candidate windows
-    counter: Counter = Counter()
-    locations: Dict[bytes, List[Tuple]] = defaultdict(list)
-    for (r_id, pos), H in zip(metas, all_h):
-        arr = arrays[r_id]
+        idx = np.searchsorted(qsort, H)
+        idx = np.minimum(idx, qsort.size - 1)
+        m = valid & (qsort[idx] == H)
+        if not m.any():
+            continue
         win = np.lib.stride_tricks.sliding_window_view(arr, k)
-        hits = [p for p, h in zip(pos.tolist(), H.tolist())
-                if h in frequent_h]
-        for p in hits:
-            key = win[p].tobytes()
-            counter[key] += 1
-            locations[key].append((r_id, p))
-    frequent = {key: c for key, c in counter.items() if c >= min_mult}
-    freq_pos = {key: locations[key] for key in frequent}
-    return frequent, freq_pos
+        hits = np.nonzero(m)[0]
+        for h in np.unique(H[hits]).tolist():
+            ps = hits[H[hits] == h]
+            rows = win[ps]
+            for qi in by_hash[int(h)]:
+                out[keys[qi]] += int(
+                    np.all(rows == qarrs[qi][None, :], axis=1).sum())
+    return out
 
 
 def _key_to_arr(key: bytes) -> np.ndarray:

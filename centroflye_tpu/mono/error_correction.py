@@ -104,7 +104,8 @@ def infer_hors(monoreads: Dict[str, MonoString], k: int = 3,
         MonoDeBruijnGraph, get_frequent_kmers,
     )
     strings = {r_id: m.syms for r_id, m in monoreads.items()}
-    frequent, _ = get_frequent_kmers(strings, k=k, min_mult=min_mult)
+    frequent, _ = get_frequent_kmers(strings, k=k, min_mult=min_mult,
+                                     with_locations=False)
     if not frequent:
         return []
     db = MonoDeBruijnGraph(k=k)

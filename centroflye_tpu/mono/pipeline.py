@@ -73,6 +73,12 @@ class MonoPipeline:
                 [scaffolds[a], scaffolds[b][db.k - 1:]])
             scaffolds = [joined]
             edge_scaffolds = [edge_scaffolds[a] + edge_scaffolds[b]]
+        elif cfg.auto_join and len(scaffolds) >= 2:
+            from centroflye_tpu.mono.scaffolding import (
+                merge_scaffolds_with_paths)
+            scaffolds, edge_scaffolds = merge_scaffolds_with_paths(
+                db, scaffolds, edge_scaffolds,
+                min_overlap=cfg.join_min_overlap)
 
         r2s = read2scaffolds(db, edge_scaffolds, mappings, ec)
         coverage = cover_scaffolds_w_reads(r2s, mappings, scaffolds, ec,

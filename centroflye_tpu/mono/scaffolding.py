@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from centroflye_tpu.mono.debruijn import (
-    MonoDeBruijnGraph, get_all_kmers, get_frequent_kmers,
+    MonoDeBruijnGraph, count_specific_kmers, get_frequent_kmers,
 )
 from centroflye_tpu.mono.monostring import MonoString, GAP
 
@@ -41,8 +41,7 @@ def get_paths_thru_complex_nodes(db: MonoDeBruijnGraph, strings,
     if not complex_nodes:
         return {}
     k = db.k
-    all_kp1, _ = get_all_kmers(strings, k=k + 1)
-    selected: Dict[bytes, int] = {}
+    wanted: List[bytes] = []
     for node in complex_nodes:
         for in_eid in db.in_edges[node]:
             for out_eid in db.out_edges[node]:
@@ -50,10 +49,12 @@ def get_paths_thru_complex_nodes(db: MonoDeBruijnGraph, strings,
                 out_head = db.edges[out_eid].syms[:k]
                 assert np.array_equal(in_tail[1:], out_head[:-1])
                 kp1 = np.concatenate([in_tail, out_head[-1:]])
-                key = kp1.tobytes()
-                if all_kp1.get(key, 0) >= min_mult:
-                    selected[key] = all_kp1[key]
-    return selected
+                wanted.append(kp1.tobytes())
+    # count ONLY the queried (k+1)-mers — the full (k+1)-mer table the
+    # reference builds here (debruijn_graph.py:274-283) costs a
+    # per-window pass over every read each round for a handful of keys
+    counts = count_specific_kmers(strings, k + 1, wanted)
+    return {key: c for key, c in counts.items() if c >= min_mult}
 
 
 def iterative_graph(monoreads: Dict[str, MonoString], min_k: int,
@@ -71,7 +72,8 @@ def iterative_graph(monoreads: Dict[str, MonoString], min_k: int,
 
     for k in range(min_k, max_k + 1, step):
         frequent, _ = get_frequent_kmers(input_strings, k=k,
-                                         min_mult=min_mult)
+                                         min_mult=min_mult,
+                                         with_locations=False)
         # complex (k+1)-mers from the previous round ride along (their
         # length is previous k+1 == current k when step == 1)
         for key, cnt in complex_kp1.items():
@@ -240,6 +242,145 @@ def scaffolding(db: MonoDeBruijnGraph, mappings,
 
     scaffolds = [db.get_path(es) for es in edge_scaffolds]
     return scaffolds, edge_scaffolds
+
+
+def _kmp_overlap(a: np.ndarray, b: np.ndarray, min_overlap: int) -> int:
+    """Longest exact overlap: suffix of `a` == prefix of `b` (monomer
+    symbols), via the prefix-function of b + SEP + a. Returns 0 when
+    below min_overlap."""
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    sep = np.int16(-32000)            # outside any symbol alphabet
+    s = np.concatenate([b, [sep], a]).tolist()
+    n = len(s)
+    pi = [0] * n
+    k = 0
+    for i in range(1, n):
+        while k > 0 and s[i] != s[k]:
+            k = pi[k - 1]
+        if s[i] == s[k]:
+            k += 1
+        pi[i] = k
+    ov = pi[-1]
+    return ov if ov >= min_overlap else 0
+
+
+def merge_overlapping_scaffolds(scaffolds: List[np.ndarray],
+                                min_overlap: int = 50
+                                ) -> List[np.ndarray]:
+    """Automated scaffold join: the reference ends cen6 by MANUALLY
+    concatenating scaffolds 0 and 1 (reference centroFlyeMono.py:84-87,
+    a hard-coded "# TODO" join). Here collinear scaffolds are joined on
+    EVIDENCE: repeatedly merge the pair with the longest exact
+    suffix-prefix monomer overlap (>= min_overlap monomers, ~8.5 kb of
+    nucleotides at cen6's monomer size — far beyond chance), dropping
+    scaffolds wholly contained in another first. Exact containment and
+    overlap only — no forced concatenation, so a genuine gap stays a
+    gap."""
+    scafs = [np.asarray(s, np.int16) for s in scaffolds if len(s)]
+    # containment: drop scaffolds that appear inside a longer one
+    scafs.sort(key=len, reverse=True)
+    kept: List[np.ndarray] = []
+    for s in scafs:
+        sb = s.tobytes()
+        contained = False
+        for t in kept:
+            tb = t.tobytes()
+            p = tb.find(sb)
+            while p >= 0:
+                if p % 2 == 0:        # int16 alignment check
+                    contained = True
+                    break
+                p = tb.find(sb, p + 1)
+            if contained:
+                break
+        if not contained:
+            kept.append(s)
+    merged = True
+    while merged and len(kept) > 1:
+        merged = False
+        best = (0, -1, -1)
+        for i in range(len(kept)):
+            for j in range(len(kept)):
+                if i == j:
+                    continue
+                ov = _kmp_overlap(kept[i], kept[j], min_overlap)
+                if ov > best[0]:
+                    best = (ov, i, j)
+        ov, i, j = best
+        if ov > 0:
+            joined = np.concatenate([kept[i], kept[j][ov:]])
+            kept = [s for q, s in enumerate(kept) if q not in (i, j)]
+            kept.append(joined)
+            merged = True
+    kept.sort(key=len, reverse=True)
+    return kept
+
+
+def merge_scaffolds_with_paths(db: MonoDeBruijnGraph,
+                               scaffolds: List[np.ndarray],
+                               edge_scaffolds: List[List[int]],
+                               min_overlap: int = 50):
+    """Evidence-joined scaffolds WITH graph edge paths: symbol-level
+    exact-overlap merging (merge_overlapping_scaffolds) whose every
+    accepted merge is re-anchored through the graph — the merged symbol
+    run is mapped back to a VALID edge path (db.map_reads on the
+    symbols) and its sequence re-derived with db.get_path, so the
+    (scaffold, edge path) pair keeps the exact invariants scaffolding()
+    established and the downstream read2scaffolds /
+    cover_scaffolds_w_reads coordinate math is unchanged. A merge whose
+    symbols do not map to one valid path is rejected (kept split).
+    Returns (scaffolds, edge_scaffolds)."""
+    items = [(np.asarray(s, np.int16), list(p))
+             for s, p in zip(scaffolds, edge_scaffolds) if len(s)]
+    items.sort(key=lambda t: len(t[0]), reverse=True)
+    kept: List[Tuple[np.ndarray, List[int]]] = []
+    for s, p in items:
+        sb = s.tobytes()
+        contained = False
+        for t, _ in kept:
+            tb = t.tobytes()
+            q = tb.find(sb)
+            while q >= 0 and not contained:
+                if q % 2 == 0:
+                    contained = True
+                q = tb.find(sb, q + 1)
+            if contained:
+                break
+        if not contained:
+            kept.append((s, p))
+    banned = set()
+    while len(kept) > 1:
+        cands = []
+        for i in range(len(kept)):
+            for j in range(len(kept)):
+                if i == j or (i, j) in banned:
+                    continue
+                ov = _kmp_overlap(kept[i][0], kept[j][0], min_overlap)
+                if ov > 0:
+                    cands.append((ov, i, j))
+        cands.sort(reverse=True)
+        merged_any = False
+        for ov, i, j in cands:
+            merged_sym = np.concatenate([kept[i][0], kept[j][0][ov:]])
+            m = db.map_reads({"m": merged_sym}).get("m")
+            if m is None or not m[2] or not m[3]:
+                banned.add((i, j))
+                continue
+            path = m[3]
+            sym = db.get_path(path)
+            if len(sym) <= max(len(kept[i][0]), len(kept[j][0])):
+                banned.add((i, j))
+                continue
+            kept = [t for q, t in enumerate(kept) if q not in (i, j)]
+            kept.append((sym, path))
+            banned = set()
+            merged_any = True
+            break
+        if not merged_any:
+            break
+    kept.sort(key=lambda t: len(t[0]), reverse=True)
+    return [s for s, _ in kept], [p for _, p in kept]
 
 
 def read2scaffolds(db: MonoDeBruijnGraph, scaffold_paths, mappings,

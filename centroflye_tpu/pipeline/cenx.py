@@ -289,6 +289,22 @@ class CenXPipeline:
         placed = sum(1 for p in placements.values() if p is not None)
         logger.info("placement validation: %d/%d re-map to their placement",
                     n_same, placed)
+        # starvation/misplacement tripwire: a healthy run places most
+        # decomposed reads and they re-map consistently; both collapse
+        # when the edge-coverage cutoff starves at low coverage
+        # (benchmarks/coverage_ladder.json: 29 placed / 1 re-mapped at
+        # 16x with the fixed reference cutoff). Surface the fix.
+        total = max(len(placements), 1)
+        if placed and (placed < 0.2 * total or n_same < 0.5 * placed) \
+                and not self.config.kmer_recruitment.auto_min_coverage:
+            logger.warning(
+                "placement collapse signature: %d/%d reads placed, %d/%d "
+                "re-map. At low coverage the fixed min_coverage=%d edge "
+                "cutoff starves the unique-k-mer stage (the reference "
+                "pipeline behaves identically); re-run with "
+                "kmer_recruitment.auto_min_coverage=True",
+                placed, total, n_same, placed,
+                self.config.kmer_recruitment.min_coverage)
 
     # ----------------------------------------------------------------- #
     def run(self, reads_fn: str) -> str:

@@ -1333,6 +1333,25 @@ def recruit_unique_kmers(
                 if kept.any() else np.empty(0, np.int64))
             if len(uidx) >= config.auto_min_unique_frac * n_rare:
                 break
+        if c < config.min_coverage and kept.any() \
+                and config.auto_min_degree > 1:
+            # endpoint-degree cleanup: at sub-reference cutoffs the edge
+            # set admits chance co-occurrences of noise-minted rare
+            # k-mers. A TRUE unique k-mer pairs with the unique k-mers
+            # of ~2*max_distance other unit copies (tens of surviving
+            # edges even at low coverage); a chance pair's endpoints are
+            # nearly isolated (degree 1-2). Keeping only endpoints with
+            # >= auto_min_degree incident edges removes the noise set
+            # without touching the true one (measured at the 120u/10x
+            # rung: placements rose and the assembly completed).
+            deg = np.zeros(len(rare_codes), np.int64)
+            np.add.at(deg, edges2.i[kept], 1)
+            np.add.at(deg, edges2.j[kept], 1)
+            good = deg >= config.auto_min_degree
+            kept = kept & good[edges2.i] & good[edges2.j]
+            uidx = (np.unique(np.concatenate(
+                [edges2.i[kept], edges2.j[kept]]))
+                if kept.any() else np.empty(0, np.int64))
         logger.info(
             "auto min_coverage: cutoff %d of [2, %d] (unique %d / rare %d"
             " = %.1f%%, edges %d)", c, config.min_coverage, len(uidx),

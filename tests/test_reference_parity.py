@@ -581,3 +581,136 @@ def test_reference_parity_large_noisy(noisy_world_large, tmp_path):
     assert set(ref_pos) == set(placements)
     for r_id in ref_pos:
         assert ref_pos[r_id] == placements[r_id], r_id
+
+
+# --------------------------------------------------------------------------
+# PRODUCTION-NOISE parity world (round-5): 5.5% uniform read error —
+# the rel2-equivalent regime the production demo runs at — at the
+# reference's real coverage 32 over a 30-unit DXZ1 array, small enough
+# for the reference's dict-based 9h-loop to finish in test time.
+# Closes the round-4 gap "reference-oracle parity stops at 2% noise".
+
+
+@pytest.fixture(scope="module")
+def production_noise_world(tmp_path_factory):
+    from centroflye_tpu.io import read_seq
+    from centroflye_tpu.pipeline.simulate import add_read_noise
+
+    data = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "centroflye_tpu", "data")
+    unit = read_seq(os.path.join(data, "DXZ1_rc.fasta"))
+    rng = np.random.default_rng(509)
+    sim = simulate_tandem_repeat(rng, unit, mult=30, div_rate=0.003,
+                                 flank_len=6000)
+    g = sim.flanked_tr
+    ts, te = 6000, 6000 + len(sim.tr)
+    U = len(unit)
+    reads = []
+    for pi, left in enumerate([5500, 5000, 4500]):
+        reads.append((f"pre{pi}", g[ts - left:ts + 6 * U]))
+    lengths = [5, 8, 12]
+    i = 0
+    start = ts
+    while True:
+        L = lengths[i % 3] * U
+        if start + L >= te:
+            break
+        seq = g[start:start + L]
+        if i % 3 == 1:
+            seq = revcomp_str(seq)
+        reads.append((f"int{i:03d}", seq))
+        start += U // 4
+        i += 1
+    for si, right in enumerate([5500, 5000]):
+        reads.append((f"suf{si}", g[te - 6 * U:te + right]))
+    # PRODUCTION noise on every read
+    reads = [(r, add_read_noise(rng, s, 0.055)) for r, s in reads]
+
+    dec = UnitDecomposer(
+        unit, UnitDecompositionConfig(min_record_len=5000)).decompose(reads)
+    assert len(dec.records) >= 75
+
+    outdir = str(tmp_path_factory.mktemp("prod_noise_parity"))
+    report_fn = os.path.join(outdir, "report.ncrf")
+    write_ncrf_like_report(dec, unit, report_fn)
+    from centroflye_tpu.stages.ncrf_compat import parse_ncrf_report
+    dec_pinned = parse_ncrf_report(report_fn, min_record_len=5000)
+    return dict(unit=unit, dec=dec_pinned, report_fn=report_fn)
+
+
+@pytest.mark.slow
+def test_reference_parity_production_noise(production_noise_world,
+                                           tmp_path):
+    """5.5%-noise coverage-32 world: unique k-mers AND placements must
+    match the reference's scripts bit-for-bit (reference
+    distance_based_kmer_recruitment.py:131-149, read_placer.py:42-94)."""
+    dec = production_noise_world["dec"]
+    K19 = 19
+    COV = 32
+    kcfg = KmerRecruitmentConfig(
+        k=K19, min_distance=1, max_distance=150, min_coverage=4,
+        bottom=0.9, top=3.0, kmer_survival_rate=0.34, max_nonuniq=3)
+    records = {r: dec.records[r] for r in sorted(dec.records)}
+    seqs = [rec.seq for rec in records.values()]
+    rare = get_rare_kmers(seqs, kcfg, COV)
+    assert len(rare) > 200
+    clouds = build_read_clouds(records, rare, K19)
+    _, tensor, n_units, _ = pad_clouds(clouds, sorted(records))
+    uniq, edges = recruit_unique_kmers(tensor, n_units, rare, kcfg)
+    uniq_strs = sorted(kmer_strings(uniq, K19))
+    assert len(uniq_strs) > 50
+
+    refout = str(tmp_path / "ref_kmers")
+    cmd = [sys.executable,
+           os.path.join(REF, "distance_based_kmer_recruitment.py"),
+           "--ncrf", production_noise_world["report_fn"],
+           "--coverage", str(COV),
+           "--min-coverage", "4",
+           "--outdir", refout,
+           "-k", str(K19),
+           "--min-distance", "1",
+           "--max-distance", "150",
+           "--bottom", "0.9",
+           "--top", "3.0",
+           "--kmer-survival-rate", "0.34",
+           "--max-nonuniq", "3"]
+    res = subprocess.run(cmd, env=ref_env(), capture_output=True, text=True,
+                         timeout=3600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(os.path.join(refout,
+                           "unique_kmers_min_edge_cov_4.txt")) as f:
+        ref_kmers = sorted(line.strip() for line in f if line.strip())
+    assert ref_kmers == uniq_strs
+
+    pcfg = PlacerConfig(
+        min_cloud_kmer_freq=2, min_kmer_mult=2, min_unit=2, min_inters=10,
+        min_prop=3, prefix_threshold=4000, small_threshold=1000)
+    clouds_u = build_read_clouds(records, uniq, K19)
+    clouds_u = filter_read_clouds(clouds_u, min_mult=2)
+    placer = ReadPlacer(pcfg)
+    placements = placer.run(dec, clouds_u)
+    assert sum(1 for p in placements.values() if p is not None) > 40
+
+    kmers_fn = str(tmp_path / "unique_kmers.txt")
+    with open(kmers_fn, "w") as f:
+        for s in uniq_strs:
+            print(s, file=f)
+    refout2 = str(tmp_path / "ref_placer")
+    cmd = [sys.executable, os.path.join(REF, "read_placer.py"),
+           "--ncrf", production_noise_world["report_fn"],
+           "--genomic-kmers", kmers_fn,
+           "--k-cloud", str(K19),
+           "--min-cloud-kmer-freq", "2",
+           "--min-kmer-mult", "2",
+           "--min-unit", "2",
+           "--min-inters", "10",
+           "--prefix-threshold", "4000",
+           "--outdir", refout2]
+    res = subprocess.run(cmd, env=ref_env(), capture_output=True, text=True,
+                         timeout=3600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    ref_pos = read_positions_file(
+        os.path.join(refout2, "read_positions.csv"))
+    assert set(ref_pos) == set(placements)
+    for r_id in ref_pos:
+        assert ref_pos[r_id] == placements[r_id], r_id
