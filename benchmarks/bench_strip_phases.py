@@ -33,12 +33,23 @@ def sync(x):
     return x
 
 
+def scalarize(tree):
+    """Reduce a pytree of device arrays to one traced scalar — on the
+    axon backend block_until_ready does not actually wait, so phase
+    timing must force a scalar device->host readback."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    acc = jnp.float32(0)
+    for x in leaves:
+        acc = acc + jnp.asarray(x).ravel()[-1].astype(jnp.float32)
+    return acc
+
+
 def timeit(fn, n=5):
-    fn()                      # compile + warm
-    fn()
+    float(fn())                # compile + warm (scalar readback)
+    float(fn())
     t0 = time.perf_counter()
     for _ in range(n):
-        fn()
+        float(fn())
     return (time.perf_counter() - t0) / n
 
 
@@ -55,7 +66,6 @@ def main():
     widths = np.full(E, it_w, np.int64)
     starts = np.concatenate([[0], np.cumsum(widths)]).astype(np.int32)
     total = int(starts[-1])
-    starts = np.concatenate([starts, [total]]).astype(np.int32)  # pad+1
     const_vals = rng.integers(0, 1 << 21, size=E, dtype=np.int32)
     base_iter = rng.integers(0, n_flat - it_w - 1, size=E,
                              dtype=np.int32)
@@ -72,11 +82,26 @@ def main():
     print(f"chunk 2^{lg} = {chunk:,} pairs, {E:,} sub-buckets,"
           f" flat {n_flat:,}", flush=True)
 
-    t = timeit(lambda: sync(dg._sorted_pairs(
-        flat_d, starts_d, cv_d, bi_d, ac_d, dv_d,
-        jnp.int32(total), chunk=chunk)))
+    sorted_probe = jax.jit(lambda *a: scalarize(
+        dg._sorted_pairs_core(*a, chunk=chunk)))
+    t = timeit(lambda: sorted_probe(
+        flat_d, starts_d, cv_d, bi_d, ac_d, dv_d, jnp.int32(total)))
     print(f"enum+sort (_sorted_pairs): {t:.3f}s "
           f"({chunk / t / 1e6:.1f}M pairs/s)", flush=True)
+
+    # blocked raw enumeration (8-lane blocks, 2-row gather + selects)
+    n8 = (n_flat + 7) // 8 + 1
+    f8 = np.zeros(n8 * 8, np.int32)
+    f8[:n_flat] = flat
+    flat8_d = sync(jax.device_put(f8.reshape(n8, 8)))
+    pad_bound = total + 8 * E
+    chunk8 = 1 << int(np.ceil(np.log2(pad_bound)))
+    blocked_probe = jax.jit(lambda *a: scalarize(
+        dg._sorted_pairs_blocked_core(*a, chunk=chunk8)))
+    t = timeit(lambda: blocked_probe(
+        flat8_d, starts_d, cv_d, bi_d, ac_d, dv_d, jnp.int32(total)))
+    print(f"enum+sort BLOCKED (chunk {chunk8:,}): {t:.3f}s "
+          f"({chunk / t / 1e6:.1f}M true pairs/s)", flush=True)
 
     # isolated probes -----------------------------------------------
     @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -89,16 +114,15 @@ def main():
         grid5 = grid5.at[0].add(vals5[0])
         grid5 = grid5.at[bpos].add(deltas5, mode="drop")
         f5 = jnp.cumsum(grid5, axis=0)
-        return f5[:, 0] + f5[:, 1] + f5[:, 2]
+        return (f5[:, 0] + f5[:, 1] + f5[:, 2])[-1]
 
-    t = timeit(lambda: sync(scan_only(
+    t = timeit(lambda: scan_only(
         starts_d, cv_d, bi_d, ac_d, dv_d, jnp.int32(total),
-        chunk=chunk)))
+        chunk=chunk))
     print(f"scatter+cumsum (5 cols): {t:.3f}s", flush=True)
 
     @functools.partial(jax.jit, static_argnames=("chunk",))
     def scan3(starts, cv, bi, acdv, total, *, chunk):
-        p = jnp.arange(chunk, dtype=jnp.int32)
         bpos = jnp.maximum(starts[1:-1], 0)
         vals3 = jnp.stack([bi - starts[:-1], cv, acdv], axis=1)
         deltas3 = vals3[1:] - vals3[:-1]
@@ -106,14 +130,12 @@ def main():
         grid3 = grid3.at[0].add(vals3[0])
         grid3 = grid3.at[bpos].add(deltas3, mode="drop")
         f3 = jnp.cumsum(grid3, axis=0)
-        return f3[:, 0] + f3[:, 1] + f3[:, 2]
+        return (f3[:, 0] + f3[:, 1] + f3[:, 2])[-1]
 
     acdv_d = sync(jax.device_put(
         (a_const.astype(np.int32) << 8) | dvals.astype(np.int32)))
-    bi1 = bi_d[:-0 or None]
-    t = timeit(lambda: sync(scan3(
-        starts_d, cv_d[:E], bi_d[:E], acdv_d, jnp.int32(total),
-        chunk=chunk)))
+    t = timeit(lambda: scan3(
+        starts_d, cv_d, bi_d, acdv_d, jnp.int32(total), chunk=chunk))
     print(f"scatter+cumsum (3 cols, packed): {t:.3f}s", flush=True)
 
     idx = rng.integers(0, n_flat, size=chunk).astype(np.int32)
@@ -121,11 +143,18 @@ def main():
 
     @jax.jit
     def gather_only(flat, idx):
-        return flat[idx]
+        return flat[idx][-1] + flat[idx][0]
 
-    t = timeit(lambda: sync(gather_only(flat_d, idx_d)))
+    t = timeit(lambda: gather_only(flat_d, idx_d))
     print(f"flat gather ({chunk:,} from {n_flat:,}): {t:.3f}s",
           flush=True)
+
+    # sequential-ish gather: indices ascending (piecewise-contiguous
+    # runs like the real sub-bucket reads)
+    idx_s = np.sort(idx).astype(np.int32)
+    idx_sd = sync(jax.device_put(idx_s))
+    t = timeit(lambda: gather_only(flat_d, idx_sd))
+    print(f"flat gather (sorted idx): {t:.3f}s", flush=True)
 
     keys_h = rng.integers(0, 1 << 21, size=chunk, dtype=np.uint32)
     keys2_h = rng.integers(0, 1 << 31, size=chunk, dtype=np.uint32)
@@ -134,18 +163,24 @@ def main():
 
     @jax.jit
     def sort2(a, b):
-        return jax.lax.sort((a, b), num_keys=2)
+        s = jax.lax.sort((a, b), num_keys=2)
+        return s[0][-1] + s[1][0]
 
-    t = timeit(lambda: sync(sort2(k1, k2)))
+    t = timeit(lambda: sort2(k1, k2))
     print(f"2-key u32 sort: {t:.3f}s ({chunk / t / 1e6:.1f}M keys/s)",
           flush=True)
 
-    hi, lo = sort2(k1, k2)
-    hi, lo = sync(hi), sync(lo)
+    @jax.jit
+    def sort_full(a, b):
+        return jax.lax.sort((a, b), num_keys=2)
+
+    hi, lo = sort_full(k1, k2)
     seen = sync(jnp.zeros(1 << 21, jnp.uint8))
-    t = timeit(lambda: sync(dg._count_filter_sorted(
+    filt_probe = jax.jit(lambda *a: scalarize(dg._count_filter_sorted(
+        *a, use_frac=True, out_small=1 << 20)))
+    t = timeit(lambda: filt_probe(
         seen, hi, lo, jnp.int32(4), jnp.int32(4), jnp.int32(5),
-        jnp.float32(0.8), use_frac=True, out_small=1 << 20)))
+        jnp.float32(0.8)))
     print(f"count+filter (_count_filter_sorted): {t:.3f}s", flush=True)
 
 

@@ -200,19 +200,29 @@ def classify_divergence(final, truth, unit_len, rundir, rng):
         piece = truth[ts:ts + unit_len]
         ac = int(ts / n_t * n_a)
         lo, hi = max(0, ac - 8000), min(n_a, ac + unit_len + 8000)
-        al = align_path(piece, final[lo:hi], mode="HW")
+        win = final[lo:hi]
+        al = align_path(piece, win, mode="HW")
         div = al.dist / max(len(piece), 1)
         cu = min(int(u / n_units_t * len(cov)), len(cov) - 1)
         if u < 2 or u >= n_units_t - 2:
             cls = "array_end"
         elif cov[cu] < 6:
             cls = "low_coverage"
+        elif al.dist >= 4:
+            # unit-boundary class: the error concentrated in the unit's
+            # first/last ~25 bp (reads disagreeing on the phase of a
+            # unit seam truncate the per-position consensus there)
+            al_t = align_path(piece[25:-25], win, mode="HW")
+            cls = ("unit_boundary"
+                   if al.dist - al_t.dist >= 0.7 * al.dist
+                   else "interior")
         else:
             cls = "interior"
         rows.append({"unit": u, "divergence": round(div, 5),
                      "coverage": int(cov[cu]), "class": cls})
     summary = {}
-    for cls in ("array_end", "low_coverage", "interior"):
+    for cls in ("array_end", "low_coverage", "unit_boundary",
+                "interior"):
         sel = [r for r in rows if r["class"] == cls]
         bad = [r for r in sel if r["divergence"] > 0.001]
         if sel:

@@ -258,17 +258,31 @@ class CenXPipeline:
         write_seqs(final_fn, {"centroFlye_assembly": final})
         return final
 
-    def run_placement_validation(self, placements, clouds) -> None:
+    def run_placement_validation(self, placements, clouds):
         """Post-placement validation (the reference's map_reads_fast debug
         idea, cloud_contig.py:117-156, as a persisted artifact): rebuild the
         contig from the placements and re-map every read; writes
-        tr_resolution/placement_validation.csv with re-mapped positions."""
+        tr_resolution/placement_validation.csv with re-mapped positions.
+        Returns the set of read ids whose re-map AGREES with their
+        placement — the polish stages consume only those (a read placed
+        off by a few units aligns fine against the 99.7%-identical
+        template but votes the WRONG base at every intra-array mutation
+        site; measured at the 1500u shape: 29/2215 disagreeing reads <->
+        62 units carrying 0.2-0.5% divergence each)."""
         from centroflye_tpu.stages.cloud_contig import (
             CloudContig, map_reads_fast)
 
         out_fn = self._artifact("tr_resolution", "placement_validation.csv")
         if os.path.exists(out_fn):
-            return
+            agree = set()
+            with open(out_fn) as f:
+                next(f)
+                for line in f:
+                    parts = line.split()
+                    if len(parts) == 4 and parts[3] == "True" \
+                            and parts[1] != "None":
+                        agree.add(parts[0])
+            return agree
         contig = CloudContig(self.config.placer.min_cloud_kmer_freq)
         for r_id, pos in placements.items():
             if pos is not None and r_id in clouds:
@@ -278,12 +292,15 @@ class CenXPipeline:
             threshold=(self.config.placer.min_unit,
                        self.config.placer.min_inters))
         n_same = 0
+        agree_set = set()
         with atomic_write(out_fn) as f:
             print("r_id placed remapped agree", file=f)
             for r_id, pos in placements.items():
                 remapped = positions.get(r_id)
                 agree = (pos == remapped)
-                n_same += bool(agree and pos is not None)
+                if agree and pos is not None:
+                    n_same += 1
+                    agree_set.add(r_id)
                 print(r_id, pos, remapped, agree, file=f)
         from centroflye_tpu.utils.logging_utils import logger
         placed = sum(1 for p in placements.values() if p is not None)
@@ -305,6 +322,7 @@ class CenXPipeline:
                 "kmer_recruitment.auto_min_coverage=True",
                 placed, total, n_same, placed,
                 self.config.kmer_recruitment.min_coverage)
+        return agree_set
 
     # ----------------------------------------------------------------- #
     def run(self, reads_fn: str) -> str:
@@ -319,10 +337,21 @@ class CenXPipeline:
         dec = self.run_decomposition(centromeric_fn)
         uniq = self.run_unique_kmers(dec)
         placements, clouds = self.run_placement(dec, uniq)
-        self.run_placement_validation(placements, clouds)
+        agree = self.run_placement_validation(placements, clouds)
+        # polish only with validation-agreeing placements: a read placed
+        # off by a few units votes the wrong base at every intra-array
+        # mutation site (see run_placement_validation)
+        n_placed = sum(1 for p in placements.values() if p is not None)
+        if agree and len(agree) >= 0.8 * max(n_placed, 1):
+            placements_p = {r: (p if p is None or r in agree else None)
+                            for r, p in placements.items()}
+        else:
+            # collapsed/low-agreement runs keep every placement — a thin
+            # validated subset would polish from near-zero coverage
+            placements_p = placements
         self.run_unit_consensus(dec)
-        assembly = self.run_polisher(dec, placements)
-        return self.run_tandem_polish(dec, placements, assembly)
+        assembly = self.run_polisher(dec, placements_p)
+        return self.run_tandem_polish(dec, placements_p, assembly)
 
 
 # ------------------------- decomposition (de)serialization ----------------

@@ -126,24 +126,25 @@ def _pairs_from_buckets_core(flat, starts, const_vals, base_iter, a_const,
     bpos = jnp.maximum(starts[1:-1] - c0, 0)
 
     # one multi-column scatter + one 2D cumsum instead of five
-    # independent fills: the boundary positions are shared, and the
-    # scatter/scan cost is dominated by the index handling, not the
-    # payload width
-    vals5 = jnp.stack(
-        [starts[:-1], base_iter, const_vals, a_const, dvals], axis=1)
-    deltas5 = vals5[1:] - vals5[:-1]
-    grid5 = jnp.zeros((chunk, 5), jnp.int32)
-    grid5 = grid5.at[0].add(vals5[0])
-    grid5 = grid5.at[bpos].add(deltas5, mode="drop")
-    f5 = jnp.cumsum(grid5, axis=0)
-    st = f5[:, 0]
-    y = p - st
-    g = flat[jnp.maximum(f5[:, 1] + y, 0)]          # iterated side
-    c = f5[:, 2]                                    # constant side
-    fa = f5[:, 3]
+    # independent fills — packed to THREE columns (the scan cost is
+    # linear in payload width): the gather index needs only
+    # base_iter - start (plus p), and the 1-bit a_const rides with the
+    # 8-bit distance in one int32 (values, not deltas, are packed, so
+    # the delta-scatter + cumsum reconstructs each field exactly)
+    vals3 = jnp.stack(
+        [base_iter - starts[:-1], const_vals,
+         (a_const << jnp.int32(8)) | dvals], axis=1)
+    deltas3 = vals3[1:] - vals3[:-1]
+    grid3 = jnp.zeros((chunk, 3), jnp.int32)
+    grid3 = grid3.at[0].add(vals3[0])
+    grid3 = grid3.at[bpos].add(deltas3, mode="drop")
+    f3 = jnp.cumsum(grid3, axis=0)
+    g = flat[jnp.maximum(f3[:, 0] + p, 0)]          # iterated side
+    c = f3[:, 1]                                    # constant side
+    fa = f3[:, 2] >> jnp.int32(8)
     a = jnp.where(fa == 1, c, g)
     b = jnp.where(fa == 1, g, c)
-    dv = f5[:, 4].astype(jnp.uint32)
+    dv = (f3[:, 2] & jnp.int32(0xFF)).astype(jnp.uint32)
     valid = (p < total) & (a != b)
     hi = jnp.where(valid, a.astype(jnp.uint32), jnp.uint32(_SENT))
     lo = jnp.where(
@@ -170,21 +171,21 @@ def _sorted_pairs_core(flat, starts, const_vals, base_iter, a_const,
     ascending, SENTINEL rows (invalid/pad) sorted to the back."""
     p = jnp.arange(chunk, dtype=jnp.int32)
     bpos = jnp.maximum(starts[1:-1], 0)
-    vals5 = jnp.stack(
-        [starts[:-1], base_iter, const_vals, a_const, dvals], axis=1)
-    deltas5 = vals5[1:] - vals5[:-1]
-    grid5 = jnp.zeros((chunk, 5), jnp.int32)
-    grid5 = grid5.at[0].add(vals5[0])
-    grid5 = grid5.at[bpos].add(deltas5, mode="drop")
-    f5 = jnp.cumsum(grid5, axis=0)
-    st = f5[:, 0]
-    y = p - st
-    g = flat[jnp.maximum(f5[:, 1] + y, 0)]          # iterated side
-    c = f5[:, 2]                                    # constant side
-    fa = f5[:, 3]
+    # 3-column packed scan (see _pairs_from_buckets_core)
+    vals3 = jnp.stack(
+        [base_iter - starts[:-1], const_vals,
+         (a_const << jnp.int32(8)) | dvals], axis=1)
+    deltas3 = vals3[1:] - vals3[:-1]
+    grid3 = jnp.zeros((chunk, 3), jnp.int32)
+    grid3 = grid3.at[0].add(vals3[0])
+    grid3 = grid3.at[bpos].add(deltas3, mode="drop")
+    f3 = jnp.cumsum(grid3, axis=0)
+    g = flat[jnp.maximum(f3[:, 0] + p, 0)]          # iterated side
+    c = f3[:, 1]                                    # constant side
+    fa = f3[:, 2] >> jnp.int32(8)
     a = jnp.where(fa == 1, c, g)
     b = jnp.where(fa == 1, g, c)
-    dv = f5[:, 4].astype(jnp.uint32)
+    dv = (f3[:, 2] & jnp.int32(0xFF)).astype(jnp.uint32)
     valid = (p < total) & (a != b)
     hi = jnp.where(valid, a.astype(jnp.uint32), jnp.uint32(_SENT))
     lo = jnp.where(
@@ -194,6 +195,72 @@ def _sorted_pairs_core(flat, starts, const_vals, base_iter, a_const,
 
 
 _sorted_pairs = jax.jit(_sorted_pairs_core, static_argnames=("chunk",))
+
+
+def _sorted_pairs_blocked_core(flat8, starts, const_vals, base_iter,
+                               a_const, dvals, total, *, chunk: int):
+    """Blocked RAW-pair enumeration: the per-pair flat gather is the
+    dominant device cost of a strip (~0.6 s of a ~1.5 s strip at 2^26
+    pairs — TPU gathers pay per INDEX, measured 9x cheaper fetching
+    8-wide rows). Each sub-bucket's pair range pads to a multiple of 8
+    (pads emit SENTINEL keys, <= ~13%% extra sort volume at production
+    raggedness), so the stream is 8-lane blocks whose iterated values
+    are one contiguous flat run f0..f0+8. Each block fetches TWO 8-wide
+    rows of the (N/8, 8)-reshaped plane (any f0 alignment) and an
+    8-way where-chain selects the window — 2 row-gathers + vector
+    selects per 8 pairs (measured 0.12 s vs 0.60 s per-pair). The
+    scatter+cumsum bucket assignment also shrinks 8x (block
+    granularity). Input contract matches _sorted_pairs_core except
+    `flat8`: the flat plane padded to a row multiple plus one guard
+    row, reshaped (rows, 8). Requires padded_total <= chunk (caller
+    sizes chunk by total + 8 * n_subbuckets)."""
+    W = 8
+    B = chunk // W
+    lens = starts[1:] - starts[:-1]
+    cnt8 = ((lens + jnp.int32(W - 1)) // W) * W
+    s8 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt8)])
+    bs = s8[1:-1] >> jnp.int32(3)        # block boundaries of e >= 1
+    q = jnp.arange(B, dtype=jnp.int32)
+    vals4 = jnp.stack(
+        [base_iter - s8[:-1],            # f0 = u + 8q
+         lens + s8[:-1],                 # rem = v - 8q
+         const_vals,
+         (a_const << jnp.int32(8)) | dvals], axis=1)
+    deltas4 = vals4[1:] - vals4[:-1]
+    grid4 = jnp.zeros((B, 4), jnp.int32)
+    grid4 = grid4.at[0].add(vals4[0])
+    grid4 = grid4.at[bs].add(deltas4, mode="drop")
+    f4 = jnp.cumsum(grid4, axis=0)
+    n_rows = flat8.shape[0]
+    f0 = jnp.clip(f4[:, 0] + (q << jnp.int32(3)), 0,
+                  jnp.int32((n_rows - 2) * W + (W - 1)))
+    r = f0 >> jnp.int32(3)
+    s = f0 & jnp.int32(7)
+    G = jnp.concatenate([flat8[r], flat8[r + 1]], axis=1)   # (B, 16)
+    g = jnp.zeros((B, W), flat8.dtype)
+    for k in range(W):
+        g = jnp.where((s == k)[:, None],
+                      jax.lax.dynamic_slice_in_dim(G, k, W, axis=1), g)
+    rem = f4[:, 1] - (q << jnp.int32(3))
+    lane = jnp.arange(W, dtype=jnp.int32)[None, :]
+    ok = lane < rem[:, None]
+    c = f4[:, 2][:, None]
+    fa = (f4[:, 3] >> jnp.int32(8))[:, None]
+    dv = (f4[:, 3] & jnp.int32(0xFF))[:, None].astype(jnp.uint32)
+    a = jnp.where(fa == 1, c, g)
+    b = jnp.where(fa == 1, g, c)
+    valid = ok & (a != b)
+    hi = jnp.where(valid, a.astype(jnp.uint32), jnp.uint32(_SENT))
+    lo = jnp.where(
+        valid,
+        (b.astype(jnp.uint32) << jnp.uint32(8)) | dv,
+        jnp.uint32(_SENT))
+    return jax.lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+
+
+_sorted_pairs_blocked = jax.jit(
+    _sorted_pairs_blocked_core, static_argnames=("chunk",))
 
 
 @functools.partial(jax.jit, static_argnames=("use_frac", "out_small"))
@@ -226,14 +293,16 @@ def _count_filter_sorted(seen, hi, lo, min_cov, num, den, rel,
     gend = (jnp.concatenate([gnew[1:], jnp.ones((1,), jnp.bool_)])
             & valid)
     # nearest boundary positions: iota is strictly increasing, so the
-    # nearest mark right/left is a reverse-cummin / forward-cummax
+    # nearest mark right/left is a reverse-cummin / forward-cummax.
+    # keep/cntd are only consumed AT run-start positions, where
+    # pos_kstart == iota — so the kstart cummax scan is dead (one fewer
+    # 64M-element scan per strip)
     pos_kend = jax.lax.cummin(
         jnp.where(kend, iota, jnp.int32(0x7FFFFFFF)), reverse=True)
-    pos_kstart = jax.lax.cummax(jnp.where(kstart, iota, 0))
     pos_gend = jax.lax.cummin(
         jnp.where(gend, iota, jnp.int32(0x7FFFFFFF)), reverse=True)
     pos_gstart = jax.lax.cummax(jnp.where(gstart, iota, 0))
-    cntd = pos_kend - pos_kstart + 1
+    cntd = pos_kend - iota + 1          # valid at kstart positions only
     all_occ = pos_gend - pos_gstart + 1
     if use_frac:
         ok_rel = cntd * den >= all_occ * num
@@ -604,9 +673,17 @@ def _strip_sweep(
         from jax.sharding import NamedSharding, PartitionSpec as P
         flat_dev = jax.device_put(flat_host, NamedSharding(mesh, P()))
         repl = NamedSharding(mesh, P())
+        flat8_dev = None
     else:
         flat_dev = jax.device_put(flat_host)
         repl = None
+        # 8-wide row view (+1 guard row) for the blocked raw
+        # enumeration: TPU gathers pay per index, so fetching rows is
+        # ~9x cheaper than per-pair elements
+        n8 = (len(flat_host) + 7) // 8 + 1
+        f8 = np.zeros(n8 * 8, np.int32)
+        f8[:len(flat_host)] = flat_host
+        flat8_dev = jax.device_put(f8.reshape(n8, 8))
 
     # per-cloud sizes, masked to live unit instances
     sizes = (clouds_tensor >= 0).sum(axis=2).astype(np.int64)  # (R, T)
@@ -878,12 +955,26 @@ def _strip_sweep(
         # (_count_filter_sorted). Yield contract: cnt is None marks a
         # raw strip (hi, lo, None, -1, total_pairs).
         if yield_raw and devgrid and total_strip <= entry_chunk:
+            # padded bound for the blocked kernel: every sub-bucket
+            # rounds up to a multiple of 8 pairs
+            pad_bound = total_strip + 8 * total_subs
             for bufs, total_seg in iter_segments():
-                size = min(max(tail_chunk, _next_pow2(total_seg)),
-                           entry_chunk)
                 t0 = time.perf_counter()
-                rhi, rlo = _sorted_pairs(
-                    flat_dev, *bufs, jnp.int32(total_seg), chunk=size)
+                if pad_bound <= entry_chunk and entry_chunk >= 64 \
+                        and flat8_dev is not None \
+                        and os.environ.get(
+                            "CENTROFLYE_NO_BLOCKED") != "1":
+                    size = min(max(tail_chunk, _next_pow2(pad_bound),
+                                   64), entry_chunk)
+                    rhi, rlo = _sorted_pairs_blocked(
+                        flat8_dev, *bufs, jnp.int32(total_seg),
+                        chunk=size)
+                else:
+                    size = min(max(tail_chunk, _next_pow2(total_seg)),
+                               entry_chunk)
+                    rhi, rlo = _sorted_pairs(
+                        flat_dev, *bufs, jnp.int32(total_seg),
+                        chunk=size)
                 if profile:
                     jax.block_until_ready((rhi, rlo))
                 ph["chunks"] += time.perf_counter() - t0

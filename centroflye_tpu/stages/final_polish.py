@@ -48,19 +48,36 @@ def _anchor_segment(template: str, read_seq: str, lo: int, hi: int,
 _TRANSPOSE = str.maketrans("ID", "DI")
 
 
-def _anchor_segments_batched(tasks, max_div: float):
-    """Run every (window, template, target, offset) anchor alignment as
-    ONE threaded native pairs batch; returns {task_index: (segment,
-    read-vs-template cigar)} applying the same filters as
-    _anchor_segment. The HW cigar is template-vs-read; swapping I<->D
-    transposes it to the read-vs-template orientation the voting core
-    expects (the aligned pairs are identical). Falls back to the
-    per-pair host path when the native engine is unavailable."""
+def _anchor_segments_batched(tasks, max_div: float,
+                             max_slip: Optional[int] = None):
+    """Run every (window, template, target, offset[, expected_t_start])
+    anchor alignment as ONE threaded native pairs batch; returns
+    {task_index: (segment, read-vs-template cigar)} applying the same
+    filters as _anchor_segment. The HW cigar is template-vs-read;
+    swapping I<->D transposes it to the read-vs-template orientation
+    the voting core expects (the aligned pairs are identical). Falls
+    back to the per-pair host path when the native engine is
+    unavailable.
+
+    max_slip: when a task carries an expected anchor position (5th
+    element), reject alignments landing further than this from it.
+    Tandem units are ~99.7% identical, so an HW anchor whose search
+    window admits a NEIGHBORING unit copy can lock onto it and vote
+    that copy's variants into the window (measured at the 1500u shape:
+    a truth-perfect eltr unit gained 13 edits in tandem polish); a
+    landing a unit-length away from the span-predicted position is
+    such a wrong-copy lock, not drift."""
     try:
         from centroflye_tpu.native import native_align_path_pairs
         from centroflye_tpu.io.encoding import encode
     except ImportError:
         native_align_path_pairs = None
+
+    def slip_ok(task, ts):
+        if max_slip is None or len(task) < 5 or task[4] is None:
+            return True
+        return abs(ts - task[4]) <= max_slip
+
     res = None
     if tasks and native_align_path_pairs is not None:
         res = native_align_path_pairs(
@@ -71,14 +88,16 @@ def _anchor_segments_batched(tasks, max_div: float):
         for idx, (task, (dist, cig, ts, te)) in enumerate(
                 zip(tasks, res)):
             template, target = task[1], task[2]
-            if dist > max_div * len(template) or te <= ts:
+            if dist > max_div * len(template) or te <= ts \
+                    or not slip_ok(task, ts):
                 continue
             out[idx] = (target[ts:te], cig.translate(_TRANSPOSE))
         return out
     for idx, task in enumerate(tasks):
         template, target = task[1], task[2]
         al = align_path(template, target, mode="HW")
-        if al.dist > max_div * len(template) or al.t_end <= al.t_start:
+        if al.dist > max_div * len(template) or al.t_end <= al.t_start \
+                or not slip_ok(task, al.t_start):
             continue
         out[idx] = (target[al.t_start:al.t_end],
                     al.cigar.translate(_TRANSPOSE))
@@ -149,8 +168,12 @@ def polish_assembly_with_reads(
                 target = seq[max(0, lo):min(len(seq), hi)]
                 if len(target) < len(template) // 2:
                     continue
-                tasks.append((w, template, target, ta - a))
-        anchored = _anchor_segments_batched(tasks, max_div)
+                # expected anchor landing inside `target`: the window's
+                # span-predicted read-local start, clipped like target
+                exp_ts = int(ta - s) - max(0, lo)
+                tasks.append((w, template, target, ta - a, exp_ts))
+        anchored = _anchor_segments_batched(tasks, max_div,
+                                            max_slip=margin - 32)
         segs_by_window: Dict[int, list] = {}
         for idx, (seg, cig) in anchored.items():
             segs_by_window.setdefault(tasks[idx][0], []).append(
