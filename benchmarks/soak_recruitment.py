@@ -56,6 +56,12 @@ def main():
     cen_src = sm.add_read_noise(rng, sim.flanked_tr, 0.055)
 
     fasta = "/tmp/soak_reads.fasta"
+    meta_fn = fasta + ".meta.json"
+    if os.path.exists(fasta) and os.path.exists(meta_fn):
+        meta = json.load(open(meta_fn))
+        if meta.get("n_reads") == n_reads:
+            print(f"reusing existing corpus {fasta}", flush=True)
+            return run_recruit(fasta, meta, unit, t_all)
     print(f"writing {n_reads:,} reads to {fasta} ...", flush=True)
     ul = rng.random(n_reads) < 0.15
     lens = np.where(ul,
@@ -92,6 +98,17 @@ def main():
     gb = total_bp / 1e9
     print(f"wrote {gb:.1f} Gbp ({n_cen} centromeric) in {gen_s:.0f}s",
           flush=True)
+    meta = {"n_reads": n_reads, "total_bp": total_bp, "n_cen": n_cen}
+    with open(meta_fn, "w") as f:
+        json.dump(meta, f)
+    return run_recruit(fasta, meta, unit, t_all)
+
+
+def run_recruit(fasta, meta, unit, t_all):
+    n_reads = meta["n_reads"]
+    total_bp = meta["total_bp"]
+    n_cen = meta["n_cen"]
+    gb = total_bp / 1e9
 
     # RSS sampler thread
     rss_samples = []
@@ -127,6 +144,8 @@ def main():
     rss = [r for _, r in rss_samples]
     q = max(1, len(rss) // 4)
     first_q = sum(rss[:q]) / q
+    q2 = sum(rss[q:2 * q]) / q
+    q3 = sum(rss[2 * q:3 * q]) / q
     last_q = sum(rss[-q:]) / q
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
     out = {
@@ -137,10 +156,13 @@ def main():
         "recruit_wall_s": round(rec_s, 1),
         "reads_per_s": round(n_reads / rec_s, 1),
         "mbp_per_s": round(total_bp / rec_s / 1e6, 1),
-        "rss_mb_first_quarter": round(first_q, 1),
-        "rss_mb_last_quarter": round(last_q, 1),
+        "rss_mb_quarters": [round(first_q, 1), round(q2, 1),
+                            round(q3, 1), round(last_q, 1)],
         "rss_mb_peak": round(peak * 1024, 1),
-        "rss_flat": bool(last_q <= 1.15 * first_q + 200),
+        # flat = the second half of the stream adds little (the first
+        # half pays one-time XLA executable/compile-cache growth across
+        # the long-read segment-shape variety)
+        "rss_flat": bool(last_q <= 1.1 * q2 + 150),
         "implied_rel2_hours": round(11.1e6 / (n_reads / rec_s) / 3600, 2),
         "reference_envelope": "11.1M reads / ~1 h / 50 threads / <50 MB "
                               "per process (README.md:103-106)",

@@ -400,8 +400,33 @@ class RecruitmentEngine:
                         int(out_r["dist"][i]))
             long_batch = []
 
+        # in-order emission lag bound: one straggler read parked in a
+        # part-filled exact-tier batch (an N segment or a fused-overflow
+        # row — rare in background-dominated streams, so that batch may
+        # not fill for a long stretch) blocks ordered emission for every
+        # later read, and streaming callers must hold those reads'
+        # sequences until the straggler resolves (measured on the
+        # 1M-read soak: RSS tripled in the second half of the stream).
+        # When the lag exceeds a bound, force-flush every tier.
+        LAG_LIMIT = max(32768, 16 * B)
+
+        def force_drain():
+            if prefilter:
+                flush_prescan()
+                flush_cands()
+                while f_inflight:
+                    drain_cands_one()
+            flush_myers()
+            while inflight:
+                drain_one()
+            if self.seqpar_min:
+                flush_seqpar()
+
         read_idx = 0
         for r_id, seq in reads:
+            if read_idx - next_emit > LAG_LIMIT:
+                force_drain()
+                yield from emit_ready()
             is_arr = isinstance(seq, np.ndarray)
             if native_fill and not is_arr:
                 raw = seq.encode("ascii")    # no int8 encode: rows pack
