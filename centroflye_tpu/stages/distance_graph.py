@@ -645,9 +645,21 @@ def _strip_sweep(
     # total_strip > capacity there by construction).
     # 0.94 margin: strips whose raw pair count lands just over capacity
     # lose the no-overflow proof and pay a host sync per saturated
-    # merge; sizing to 94% keeps the proof for uniform strips
+    # merge; sizing to 94% keeps the proof for uniform strips. The
+    # blocked raw path pads every sub-bucket to a multiple of 8 pairs
+    # (~13% at production raggedness), so when it is in play strips
+    # size to 82% — the padded bound must also fit the chunk or the
+    # strip falls back to the per-pair gather
+    # opt-in while end-to-end production A/B on a healthy link is
+    # pending: the microbench shows the gather win (0.60 -> 0.12 s per
+    # 2^26-pair strip), but the only link-degraded session available
+    # for a full-shape A/B could not separate compile from compute
+    blocked_ok = (yield_raw
+                  and not (mesh is not None and mesh.devices.size > 1)
+                  and os.environ.get("CENTROFLYE_BLOCKED") == "1")
+    margin = 0.82 if blocked_ok else 0.94
     n_strips = max(1, -(-bound // max(
-        int(capacity * 0.94) * max(dedup_hint, 1), 1)))
+        int(capacity * margin) * max(dedup_hint, 1), 1)))
     strip_w = max(1, -(-(max_idx + 1) // n_strips))
     n_strips = max(1, -(-(max_idx + 1) // strip_w))
 
@@ -963,9 +975,15 @@ def _strip_sweep(
                 if pad_bound <= entry_chunk and entry_chunk >= 64 \
                         and flat8_dev is not None \
                         and os.environ.get(
-                            "CENTROFLYE_NO_BLOCKED") != "1":
-                    size = min(max(tail_chunk, _next_pow2(pad_bound),
-                                   64), entry_chunk)
+                            "CENTROFLYE_BLOCKED") == "1":
+                    # 8M-step sizing instead of the pow2 stair: the
+                    # ~13% padding would otherwise double the sort
+                    # volume whenever it crosses a power of two
+                    # (bounded compile variety: <= entry_chunk / 8M
+                    # shapes, persistently cached)
+                    step = min(1 << 23, entry_chunk)
+                    size = min(-(-max(tail_chunk, pad_bound, 64)
+                                 // step) * step, entry_chunk)
                     rhi, rlo = _sorted_pairs_blocked(
                         flat8_dev, *bufs, jnp.int32(total_seg),
                         chunk=size)
